@@ -1,0 +1,189 @@
+"""Command-line interface.
+
+Subcommands mirroring the reference entry points (SURVEY §1 L6):
+  train     — lit.py equivalent (flags: --st_gnn --epochs --case
+              --batch_size --horizon --dataset_range --job_id, lit.py:208-219)
+  evaluate  — tlit.py equivalent (--checkpoint_path --case --horizon ...)
+  stats     — find_mean_std.py equivalent
+  synth     — synthetic fixture generator (the dataset is cluster-only)
+  bench     — benchmark suite driver
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--st_gnn", type=str, default="gwnet", help="gwnet|dcrnn")
+    p.add_argument("--horizon", type=int, default=7)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--data_dir", type=str, default="data/synthetic")
+    p.add_argument("--dataset_range", type=int, default=30)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--n_counties", type=int, default=67)
+    p.add_argument("--input_channels", type=int, default=1)
+    p.add_argument("--output_channels", type=int, default=1)
+    p.add_argument(
+        "--compute_dtype", type=str, default="bfloat16", help="bfloat16|float32"
+    )
+
+
+def _build_config(args):
+    from multimodal_outage_tpu.core.config import (
+        Config,
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    data = DataConfig(
+        data_dir=args.data_dir,
+        horizon=args.horizon,
+        dataset_range=args.dataset_range,
+        image_size=args.image_size,
+        n_counties=args.n_counties,
+    )
+    model = ModelConfig(
+        st_gnn=args.st_gnn,
+        input_channels=args.input_channels,
+        output_channels=args.output_channels,
+        compute_dtype=args.compute_dtype,
+    )
+    train = TrainConfig(
+        epochs=getattr(args, "epochs", 5),
+        batch_size=args.batch_size,
+        job_id=getattr(args, "job_id", "test"),
+        seed=getattr(args, "seed", 42),
+    )
+    return Config(data=data, model=model, train=train)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="multimodal_outage_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="Train the fusion model")
+    _add_common_model_flags(p_train)
+    p_train.add_argument("--epochs", type=int, default=5)
+    p_train.add_argument("--case", type=str, default="michael")
+    p_train.add_argument("--job_id", type=str, default="test")
+    p_train.add_argument("--seed", type=int, default=42)
+    p_train.add_argument(
+        "--num_runs", type=int, default=1, help="Repeat the experiment N times"
+    )
+
+    p_eval = sub.add_parser("evaluate", help="Evaluate a checkpoint")
+    _add_common_model_flags(p_eval)
+    p_eval.add_argument("--checkpoint_path", type=str, required=True)
+    p_eval.add_argument("--case", type=str, default="idalia")
+    p_eval.add_argument("--save_preds", type=str, default=None)
+    p_eval.add_argument("--risk_maps", type=str, default=None)
+
+    p_stats = sub.add_parser("stats", help="Dataset mean/std")
+    p_stats.add_argument("--data_dir", type=str, default="data/synthetic")
+    p_stats.add_argument("--dataset_range", type=int, default=30)
+
+    p_synth = sub.add_parser("synth", help="Generate synthetic fixture store")
+    p_synth.add_argument("--out_dir", type=str, default="data/synthetic")
+    p_synth.add_argument("--n_counties", type=int, default=67)
+    p_synth.add_argument("--image_size", type=int, default=128)
+    p_synth.add_argument("--margin", type=int, default=45)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    p_bench = sub.add_parser("bench", help="Run benchmark suite")
+    p_bench.add_argument("--config", type=str, default="unet_train")
+    p_bench.add_argument("--steps", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "synth":
+        from multimodal_outage_tpu.data.synthetic import generate_store
+
+        frames, dates = generate_store(
+            args.out_dir,
+            n_counties=args.n_counties,
+            image_size=args.image_size,
+            margin=args.margin,
+            seed=args.seed,
+        )
+        print(
+            f"wrote {args.out_dir}: frames {frames.shape}, "
+            f"{dates.shape[0]} dates"
+        )
+        return 0
+
+    if args.command == "stats":
+        from multimodal_outage_tpu.data.stats import compute_mean_std
+        from multimodal_outage_tpu.data.store import load_store
+
+        mean, std = compute_mean_std(
+            load_store(args.data_dir), dataset_range=args.dataset_range
+        )
+        print(json.dumps({"mean": mean, "std": std}))
+        return 0
+
+    if args.command == "train":
+        from multimodal_outage_tpu.train.loop import fit
+
+        cfg = _build_config(args)
+        for run in range(args.num_runs):
+            run_cfg = cfg if args.num_runs == 1 else dataclasses.replace(
+                cfg,
+                train=dataclasses.replace(
+                    cfg.train, job_id=f"{cfg.train.job_id}_r{run}", seed=cfg.train.seed + run
+                ),
+            )
+            results = fit(run_cfg, test_case=args.case)
+            print(json.dumps(results))
+        return 0
+
+    if args.command == "evaluate":
+        from multimodal_outage_tpu.train.loop import predict
+
+        cfg = _build_config(args)
+        preds, targets, metrics = predict(
+            cfg, args.checkpoint_path, test_case=args.case
+        )
+        print(
+            "Test Metrics:\n"
+            f"Test Loss: {metrics['loss']}\nTest MAE: {metrics['mae']}\n"
+            f"Test MAPE: {metrics['mape']}\nTest RMSE: {metrics['rmse']}"
+        )
+        if args.save_preds:
+            os.makedirs(args.save_preds, exist_ok=True)
+            import numpy as np
+
+            np.save(os.path.join(args.save_preds, "preds.npy"), preds)
+            np.save(os.path.join(args.save_preds, "targets.npy"), targets)
+            print(f"Saved preds and targets to {args.save_preds}")
+        if args.risk_maps:
+            from multimodal_outage_tpu.data.store import load_store
+            from multimodal_outage_tpu.viz.maps import save_risk_maps
+
+            save_risk_maps(
+                preds,
+                load_store(cfg.data.data_dir),
+                args.risk_maps,
+                mean=cfg.data.mean,
+                std=cfg.data.std,
+            )
+            print(f"Saved risk maps to {args.risk_maps}")
+        return 0
+
+    if args.command == "bench":
+        from multimodal_outage_tpu.benchmarks import run_benchmark
+
+        result = run_benchmark(args.config, steps=args.steps)
+        print(json.dumps(result))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Typed configuration tree.
+
+Every hardcoded constant scattered through the reference (paths at
+reference lit.py:16, model hyperparams at models/unet.py:31-38 and
+models/graph_wavenet.py:34-56, normalization stats at utils.py:31-32)
+is centralized here as dataclasses with CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# Dataset normalization stats derived by the reference's find_mean_std.py
+# (reference utils.py:31-32).
+DEFAULT_NTL_MEAN = 3.201447427712248
+DEFAULT_NTL_STD = 10.389727592468262
+
+# NASA Black Marble fill-value sentinel zeroed on load (reference utils.py:60).
+NTL_FILL_SENTINEL = 6.5535e03
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "data/synthetic"
+    image_size: int = 128
+    n_counties: int = 67
+    channels: int = 1
+    horizon: int = 7
+    dataset_range: int = 30  # ± days around each hurricane (reference lit.py:160)
+    mean: float = DEFAULT_NTL_MEAN
+    std: float = DEFAULT_NTL_STD
+    val_fraction: float = 0.3  # reference lit.py:161
+    prefetch: int = 2  # device prefetch depth (double buffering)
+
+
+@dataclass(frozen=True)
+class GWNetConfig:
+    """Graph WaveNet hyperparameters (reference models/graph_wavenet.py:101)."""
+
+    residual_channels: int = 32
+    dilation_channels: int = 32
+    skip_channels: int = 256
+    end_channels: int = 512
+    kernel_size: int = 1  # reference default ⇒ receptive field 1
+    blocks: int = 4
+    layers: int = 2
+    dropout: float = 0.3
+    order: int = 2  # diffusion order (reference models/graph_wavenet.py:77)
+    addaptadj: bool = True
+    node_embed_dim: int = 10  # adaptive-adjacency factor rank (reference :132-133)
+    adjtype: str = "identity"  # reference's "doubletransition" degenerates to
+    # identity (reference models/graph_wavenet.py:23-24); "doubletransition"
+    # here gives the true [asym_adj(A), asym_adj(Aᵀ)] pair.
+    use_pallas: bool = True  # fused gated-TCN + diffusion kernel on TPU
+
+
+@dataclass(frozen=True)
+class DCRNNConfig:
+    """DCRNN hyperparameters honoring the reference kwargs interface
+    (reference models/unet.py:16-27)."""
+
+    max_diffusion_step: int = 2
+    num_rnn_layers: int = 2
+    rnn_units: int = 64
+    filter_type: str = "dual_random_walk"
+    use_curriculum_learning: bool = False
+    cl_decay_steps: int = 1000
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    st_gnn: str = "gwnet"
+    input_channels: int = 1  # reference lit.py:23 passes 1
+    output_channels: int = 1
+    base_channels: int = 4  # U-Net stem width (reference models/unet.py:99)
+    depth: int = 4  # number of Down/Up stages
+    feature_vector_size: int = 256  # reference models/unet.py:35
+    time_embed_size: int = 64  # reference models/unet.py:36
+    compression_factor: int = 4  # reference models/unet.py:38
+    encoder_dropout: float = 0.3  # reference models/unet.py:135
+    train_date2vec: bool = False  # reference freezes a pretrained Date2Vec
+    gwnet: GWNetConfig = field(default_factory=GWNetConfig)
+    dcrnn: DCRNNConfig = field(default_factory=DCRNNConfig)
+    compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
+    param_dtype: str = "float32"
+
+    @property
+    def st_gnn_in_dim(self) -> int:
+        return self.feature_vector_size + self.time_embed_size
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 5  # reference lit.py:211
+    batch_size: int = 16  # reference lit.py:213
+    lr: float = 1e-3  # reference lit.py:60
+    cosine_t_max: int = 10  # reference lit.py:61
+    early_stop_patience: int = 10  # reference lit.py:181
+    seed: int = 42  # reference lit.py:14
+    log_every: int = 6  # reference lit.py:204
+    checkpoint_dir: str = "logs"
+    job_id: str = "test"
+    keep_top_k: int = 1  # reference lit.py:194 save_top_k=1
+    donate_buffers: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes. data: batch-dim DP; model: bottleneck-hidden TP."""
+
+    data: int = -1  # -1 ⇒ all remaining devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    adjacency_csv: Optional[str] = None  # None ⇒ packaged Florida asset
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def small_test_config(
+    n_counties: int = 4,
+    image_size: int = 16,
+    horizon: int = 3,
+    batch_size: int = 2,
+) -> Config:
+    """Tiny config for unit tests (parametrized 67→small-N per SURVEY §4)."""
+    return Config(
+        data=DataConfig(
+            n_counties=n_counties, image_size=image_size, horizon=horizon
+        ),
+        model=ModelConfig(compute_dtype="float32"),
+        train=TrainConfig(batch_size=batch_size, epochs=1),
+    )

@@ -1,0 +1,41 @@
+"""Device mesh construction for SPMD training.
+
+The reference is single-device (SURVEY §2, "Parallelism & communication").
+Here the distributed story is native: a jax.sharding.Mesh with axes
+  data  — batch-dim data parallelism (gradient psum over ICI)
+  model — tensor parallelism over the bottleneck MLP hidden dims
+
+Multi-chip configs are validated on a virtual CPU mesh via
+XLA_FLAGS=--xla_force_host_platform_device_count=N (SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,142 @@
+"""ModifiedUNet — the flagship fusion model.
+
+TPU-native redesign of reference models/unet.py:201-231: U-Net contraction
+→ bottleneck encoder → (‖ Date2Vec time embedding) → st-GNN → bottleneck
+decoder → U-Net expansion with skip connections.
+
+One pure function over [B, N, T, H, W, C]: the reference's per-batch and
+per-county Python loops (models/unet.py:221,110,141,165,188) are batched
+dims, the st-GNN choice is a registry lookup instead of a hardcoded-CUDA
+if/else (models/unet.py:209-214), skip maps flow functionally, and the
+Date2Vec embedding is computed inside the forward from raw (y, m, d) date
+features (fused per BASELINE.json) instead of per-sample in the data
+loader (reference utils.py:94).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_outage_tpu.core.config import ModelConfig
+from multimodal_outage_tpu.core.registry import register_st_gnn
+from multimodal_outage_tpu.models.date2vec import Date2Vec
+from multimodal_outage_tpu.models.dcrnn import DCRNN
+from multimodal_outage_tpu.models.gwnet import GraphWaveNet
+from multimodal_outage_tpu.models.unet import (
+    BottleneckDecoder,
+    BottleneckEncoder,
+    Contraction,
+    Expansion,
+)
+
+
+@register_st_gnn("gwnet")
+def _build_gwnet(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
+    g = cfg.gwnet
+    return GraphWaveNet(
+        out_dim=cfg.feature_vector_size,
+        residual_channels=g.residual_channels,
+        dilation_channels=g.dilation_channels,
+        skip_channels=g.skip_channels,
+        end_channels=g.end_channels,
+        kernel_size=g.kernel_size,
+        blocks=g.blocks,
+        layers=g.layers,
+        dropout=g.dropout,
+        order=g.order,
+        addaptadj=g.addaptadj,
+        node_embed_dim=g.node_embed_dim,
+        dtype=dtype,
+        name="st_gnn",
+    )
+
+
+@register_st_gnn("dcrnn")
+def _build_dcrnn(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
+    d = cfg.dcrnn
+    return DCRNN(
+        output_dim=cfg.feature_vector_size,
+        horizon=horizon,
+        rnn_units=d.rnn_units,
+        num_rnn_layers=d.num_rnn_layers,
+        max_diffusion_step=d.max_diffusion_step,
+        dtype=dtype,
+        name="st_gnn",
+    )
+
+
+class ModifiedUNet(nn.Module):
+    cfg: ModelConfig
+    horizon: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, T, H, W, C_in] normalized NTL
+        date_feats: jnp.ndarray,  # [B, T, 6] raw (0,0,0,y,m,d)
+        supports: Optional[jnp.ndarray],  # [S, N, N] static GCN supports
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        b, n, t = x.shape[:3]
+        grid = x.shape[3] // (2**cfg.depth)
+
+        x = x.astype(dtype)
+        bottleneck, skips = Contraction(
+            base_channels=cfg.base_channels,
+            depth=cfg.depth,
+            dtype=dtype,
+            name="contraction",
+        )(x, train)
+
+        z = BottleneckEncoder(
+            feature_vector_size=cfg.feature_vector_size,
+            compression_factor=cfg.compression_factor,
+            dropout=cfg.encoder_dropout,
+            dtype=dtype,
+            name="encoder",
+        )(bottleneck, train)
+
+        # Date2Vec fused into the forward: one embedding per date,
+        # broadcast over counties (reference utils.py:94,103 semantics).
+        te = Date2Vec(k=cfg.time_embed_size, dtype=dtype, name="date2vec").encode(
+            date_feats.astype(dtype)
+        )
+        if not cfg.train_date2vec:
+            te = jax.lax.stop_gradient(te)
+        te = jnp.broadcast_to(te[:, None], (b, n, t, cfg.time_embed_size))
+        z = jnp.concatenate([z, te], axis=-1)  # [B, N, T, 320]
+
+        from multimodal_outage_tpu.core.registry import get_st_gnn
+
+        z = get_st_gnn(cfg.st_gnn)(cfg, self.horizon, dtype)(z, supports, train)
+
+        d = BottleneckDecoder(
+            grid_size=grid,
+            grid_channels=cfg.base_channels * (2**cfg.depth),
+            compression_factor=cfg.compression_factor,
+            dropout=cfg.encoder_dropout,
+            dtype=dtype,
+            name="decoder",
+        )(z, train)
+
+        y = Expansion(
+            output_channels=cfg.output_channels,
+            base_channels=cfg.base_channels,
+            depth=cfg.depth,
+            dtype=dtype,
+            name="expansion",
+        )(d, skips, train)
+        return y.astype(jnp.float32)
+
+
+def build_model(cfg: ModelConfig, horizon: int) -> ModifiedUNet:
+    from multimodal_outage_tpu.core.registry import get_st_gnn
+
+    get_st_gnn(cfg.st_gnn)  # fail fast on unknown st-GNN names
+    return ModifiedUNet(cfg=cfg, horizon=horizon)

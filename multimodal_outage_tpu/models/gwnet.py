@@ -1,0 +1,203 @@
+"""Graph WaveNet spatiotemporal GNN.
+
+TPU-native redesign of reference models/graph_wavenet.py:100-256: gated
+(dilated) temporal convolutions + order-2 diffusion graph convolution with
+a learned adaptive adjacency, skip-connection accumulation, and a 2-layer
+1×1 head.
+
+Design notes vs the reference:
+  * Layout is [B, N, T, C] throughout; every reference Conv2d(1,1) is a
+    Dense over C; temporal convs (kernel_size>1) are 1-D convs over T.
+    The reference hardcodes batch 1 and loops batches in Python
+    (models/graph_wavenet.py:189, models/unet.py:221); here B is batched.
+  * No import-time side effects: supports are passed in as an [S, N, N]
+    array (the reference loads a hardcoded CSV path and .to('cuda')s at
+    import, models/graph_wavenet.py:47-51).
+  * `reference_view_quirk`: the reference's `input.view(1, C, N, T)` and
+    final `x.view(67, T, C)` (models/graph_wavenet.py:189,255) are raw
+    memory reinterprets of [N, T, C] tensors — a fixed axis-scrambling
+    permutation, not a transpose. Default False applies the semantically
+    intended transpose; True reproduces the exact reinterpret for
+    numerical-parity testing against the reference.
+  * BatchNorm2d over [1, C, N, T] (models/graph_wavenet.py:250) normalizes
+    over (N, T) per sample — GroupedBatchNorm(num_group_axes=1) matches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_outage_tpu.models.layers import GroupedBatchNorm
+
+
+def nconv(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Diffusion step: mix node axis with support A.
+
+    Reference einsum 'ncvl,vw->ncwl' (models/graph_wavenet.py:64-66) in
+    [B, N, T, C] layout: out[b,w,t,c] = Σ_v x[b,v,t,c]·A[v,w]."""
+    return jnp.einsum("bvtc,vw->bwtc", x, a)
+
+
+class DiffusionGCN(nn.Module):
+    """Order-k diffusion over each support, concat, 1×1 mix, dropout
+    (reference models/graph_wavenet.py:76-98)."""
+
+    features: int
+    order: int = 2
+    dropout: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, supports: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        out = [x]
+        for s in range(supports.shape[0]):
+            a = supports[s]
+            x1 = nconv(x, a)
+            out.append(x1)
+            for _ in range(2, self.order + 1):
+                x1 = nconv(x1, a)
+                out.append(x1)
+        h = jnp.concatenate(out, axis=-1)
+        h = nn.Dense(self.features, dtype=self.dtype, name="mlp")(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class GraphWaveNet(nn.Module):
+    """Forecasting head over fused (image-feature ‖ time-embed) sequences.
+
+    Input  [B, N, T, in_dim]  (in_dim = 256 + 64 at the reference call site,
+                               models/unet.py:207-210)
+    Output [B, N, T, out_dim] (out_dim = 256).
+    """
+
+    out_dim: int = 256
+    residual_channels: int = 32
+    dilation_channels: int = 32
+    skip_channels: int = 256
+    end_channels: int = 512
+    kernel_size: int = 1
+    blocks: int = 4
+    layers: int = 2
+    dropout: float = 0.3
+    order: int = 2
+    addaptadj: bool = True
+    node_embed_dim: int = 10
+    reference_view_quirk: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def receptive_field(self) -> int:
+        """Reference computation (models/graph_wavenet.py:122,145-170)."""
+        rf = 1
+        for _ in range(self.blocks):
+            scope = self.kernel_size - 1
+            for _ in range(self.layers):
+                rf += scope
+                scope *= 2
+        return rf
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        supports: Optional[jnp.ndarray],
+        train: bool,
+    ) -> jnp.ndarray:
+        b, n, t, c_in = x.shape
+        if self.reference_view_quirk:
+            # torch .view(1, C, N, T) memory reinterpret of [N, T, C]
+            x = x.reshape(b, c_in, n, t).transpose(0, 2, 3, 1)
+
+        rf = self.receptive_field
+        if rf > 1:
+            # Causal left-pad so output length == t. With the reference's
+            # default kernel_size=1 this is a no-op (rf=1), matching it
+            # exactly. For kernel_size>1 the reference only pads when
+            # t < rf (graph_wavenet.py:191-193) and then its final
+            # .view(67, horizon, C) breaks on the shrunken T — a latent
+            # bug we fix rather than replicate (SURVEY §8.5).
+            x = jnp.pad(x, [(0, 0), (0, 0), (rf - 1, 0), (0, 0)])
+
+        x = nn.Dense(self.residual_channels, dtype=self.dtype, name="start_conv")(x)
+
+        # adaptive adjacency: softmax(relu(E1·E2), axis=1)
+        # (reference models/graph_wavenet.py:199-203)
+        n_supports = supports.shape[0] if supports is not None else 0
+        all_supports = None
+        if self.addaptadj:
+            nodevec1 = self.param(
+                "nodevec1", nn.initializers.normal(1.0), (n, self.node_embed_dim)
+            )
+            nodevec2 = self.param(
+                "nodevec2", nn.initializers.normal(1.0), (self.node_embed_dim, n)
+            )
+            adp = jax.nn.softmax(
+                nn.relu(nodevec1 @ nodevec2).astype(jnp.float32), axis=1
+            ).astype(x.dtype)
+            parts = [adp[None]]
+            if supports is not None:
+                parts = [supports.astype(x.dtype), adp[None]]
+            all_supports = jnp.concatenate(parts, axis=0)
+            n_supports += 1
+        elif supports is not None:
+            all_supports = supports.astype(x.dtype)
+
+        skip = None
+        dilation = 1
+        for i in range(self.blocks * self.layers):
+            if i % self.layers == 0:
+                dilation = 1
+            residual = x
+            # gated temporal conv (1×1 when kernel_size=1, the reference
+            # default — SURVEY §8.5)
+            conv_kw = dict(
+                features=self.dilation_channels,
+                kernel_size=(self.kernel_size,),
+                kernel_dilation=(dilation,),
+                padding="VALID",
+                dtype=self.dtype,
+            )
+            filt = jnp.tanh(nn.Conv(**conv_kw, name=f"filter_conv{i}")(residual))
+            gate = nn.sigmoid(nn.Conv(**conv_kw, name=f"gate_conv{i}")(residual))
+            x = filt * gate
+            dilation *= 2
+
+            s = nn.Dense(self.skip_channels, dtype=self.dtype, name=f"skip_conv{i}")(x)
+            t_cur = s.shape[2]
+            skip = s if skip is None else s + skip[:, :, -t_cur:, :]
+
+            if all_supports is not None:
+                x = DiffusionGCN(
+                    self.residual_channels,
+                    order=self.order,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"gconv{i}",
+                )(x, all_supports, train)
+            else:
+                x = nn.Dense(
+                    self.residual_channels, dtype=self.dtype, name=f"residual_conv{i}"
+                )(x)
+
+            x = x + residual[:, :, -x.shape[2] :, :]
+            x = GroupedBatchNorm(
+                num_group_axes=1, dtype=self.dtype, name=f"bn{i}"
+            )(x, train)
+
+        out = nn.relu(skip)
+        out = nn.relu(
+            nn.Dense(self.end_channels, dtype=self.dtype, name="end_conv_1")(out)
+        )
+        out = nn.Dense(self.out_dim, dtype=self.dtype, name="end_conv_2")(out)
+
+        if self.reference_view_quirk:
+            # torch .view(N, T, C) memory reinterpret of [1, C, N, T]
+            bo, no, to, co = out.shape
+            out = out.transpose(0, 3, 1, 2).reshape(bo, no, to, co)
+        return out

@@ -1,0 +1,175 @@
+"""Shared neural blocks: torch-semantics BatchNorm and U-Net conv blocks.
+
+All blocks are pure flax modules over channels-last tensors with arbitrary
+leading batch dims — the reference's per-county Python loops
+(reference models/unet.py:110,141,165,188) become batched dims here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with torch semantics and per-group train-mode statistics.
+
+    The reference pushes the 67 counties *serially* through shared
+    nn.BatchNorm2d modules with T as the conv batch dim
+    (reference models/unet.py:110-120), so each call computes batch
+    statistics per county over (T, H, W). A naive batched BN would change
+    training dynamics (SURVEY §7 "hard parts"); here train-mode statistics
+    are computed independently per leading `num_group_axes` axes
+    (e.g. (batch, county)) over the remaining non-channel axes, matching
+    the reference's per-call behavior exactly.
+
+    Running statistics follow torch's EMA (momentum 0.1, unbiased batch
+    variance) with group batch-stats averaged across groups — a parallel
+    approximation of the reference's serial per-county EMA; eval-mode
+    parity only depends on imported running stats.
+    """
+
+    num_group_axes: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        reduce_axes = tuple(range(self.num_group_axes, x.ndim - 1))
+        out_dtype = x.dtype
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
+            var = (
+                jnp.mean(jnp.square(xf), axis=reduce_axes, keepdims=True)
+                - jnp.square(mean)
+            )
+            if not self.is_initializing():
+                m = math.prod(x.shape[a] for a in reduce_axes)
+                unbiased = var * (m / max(m - 1, 1))
+                group_axes = tuple(range(self.num_group_axes))
+                batch_mean = jnp.mean(mean, axis=group_axes).reshape(c)
+                batch_var = jnp.mean(unbiased, axis=group_axes).reshape(c)
+                mom = self.momentum
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * batch_mean
+                ra_var.value = (1 - mom) * ra_var.value + mom * batch_var
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(out_dtype)
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 → BN → ReLU) × 2, no conv bias (reference models/unet.py:40-53)."""
+
+    features: int
+    num_group_axes: int = 2  # (batch, county) groups for BN stats
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                name=f"conv{i+1}",
+            )(x)
+            x = GroupedBatchNorm(
+                num_group_axes=self.num_group_axes,
+                dtype=self.dtype,
+                name=f"bn{i+1}",
+            )(x, train)
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2 max pool over the last two spatial dims, any leading batch dims."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class Down(nn.Module):
+    """MaxPool(2) → DoubleConv (reference models/unet.py:55-65)."""
+
+    features: int
+    num_group_axes: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return DoubleConv(
+            self.features, self.num_group_axes, self.dtype, name="conv"
+        )(max_pool_2x2(x), train)
+
+
+class Up(nn.Module):
+    """ConvTranspose(k=2, s=2) ↑2 → pad-to-match → concat skip → DoubleConv
+    (reference models/unet.py:67-84). Skip maps are passed explicitly, not
+    stashed as instance state (reference models/unet.py:104,227)."""
+
+    features: int
+    num_group_axes: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.ConvTranspose(
+            in_ch // 2,
+            kernel_size=(2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            name="up",
+        )(x)
+        # Static pad-to-match (shapes are static under jit; diff is 0 for
+        # power-of-two image sizes, nonzero only for odd intermediate sizes).
+        dh = skip.shape[-3] - x.shape[-3]
+        dw = skip.shape[-2] - x.shape[-2]
+        if dh or dw:
+            pad = [(0, 0)] * (x.ndim - 3) + [
+                (dh // 2, dh - dh // 2),
+                (dw // 2, dw - dw // 2),
+                (0, 0),
+            ]
+            x = jnp.pad(x, pad)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DoubleConv(
+            self.features, self.num_group_axes, self.dtype, name="conv"
+        )(x, train)
+
+
+class OutConv(nn.Module):
+    """1×1 projection head (reference models/unet.py:86-92)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features, kernel_size=(1, 1), dtype=self.dtype, name="conv"
+        )(x)

@@ -1,0 +1,113 @@
+"""U-Net image autoencoder: Contraction / bottleneck MLPs / Expansion.
+
+TPU-native redesign of reference models/unet.py:95-199. The reference loops
+Python-serially over 67 counties per stage, stashing skip maps as module
+state; here every stage is one batched XLA op over [B, N, T, H, W, C] and
+skip maps flow functionally from Contraction to Expansion.
+
+Channel schedule (reference models/unet.py:99-103,178-182):
+  Contraction: C_in →4 →8 →16 →32 →64, spatial H → H/16
+  Expansion:   64 →32 →16 →8 →4 → C_out, spatial H/16 → H
+Bottleneck MLPs (reference models/unet.py:128-173):
+  Encoder: flat(64·(H/16)²=4096) →1024 →256, ReLU + Dropout(0.3)
+  Decoder: 256 →1024 →4096 → reshape [H/16, H/16, 64]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_outage_tpu.models.layers import DoubleConv, Down, Up, OutConv
+
+
+class Contraction(nn.Module):
+    """4-stage U-Net encoder → (bottleneck, skip pyramid)."""
+
+    base_channels: int = 4
+    depth: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        ch = self.base_channels
+        x = DoubleConv(ch, dtype=self.dtype, name="inc")(x, train)
+        skips = [x]
+        for i in range(self.depth):
+            ch *= 2
+            x = Down(ch, dtype=self.dtype, name=f"down{i+1}")(x, train)
+            if i < self.depth - 1:
+                skips.append(x)
+        return x, tuple(skips)
+
+
+class BottleneckEncoder(nn.Module):
+    """Flattened bottleneck → feature vector (reference models/unet.py:128-149).
+
+    Order matches the reference: relu(fc1) → dropout → relu(fc2)."""
+
+    feature_vector_size: int = 256
+    compression_factor: int = 4
+    dropout: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        flat = x.reshape(*x.shape[:-3], -1)  # [B, N, T, h·w·c]
+        hidden = flat.shape[-1] // self.compression_factor
+        x = nn.relu(nn.Dense(hidden, dtype=self.dtype, name="fc1")(flat))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.relu(
+            nn.Dense(self.feature_vector_size, dtype=self.dtype, name="fc2")(x)
+        )
+
+
+class BottleneckDecoder(nn.Module):
+    """Feature vector → bottleneck grid (reference models/unet.py:151-173)."""
+
+    grid_size: int  # H/16
+    grid_channels: int  # 64
+    compression_factor: int = 4
+    dropout: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        feat = x.shape[-1]
+        out_size = self.grid_size * self.grid_size * self.grid_channels
+        x = nn.relu(
+            nn.Dense(
+                feat * self.compression_factor, dtype=self.dtype, name="fc1"
+            )(x)
+        )
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(out_size, dtype=self.dtype, name="fc2")(x))
+        return x.reshape(
+            *x.shape[:-1], self.grid_size, self.grid_size, self.grid_channels
+        )
+
+
+class Expansion(nn.Module):
+    """4-stage U-Net decoder consuming the skip pyramid in reverse
+    (reference models/unet.py:175-199)."""
+
+    output_channels: int = 1
+    base_channels: int = 4
+    depth: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skips: Tuple[jnp.ndarray, ...], train: bool
+    ) -> jnp.ndarray:
+        ch = self.base_channels * (2 ** (self.depth - 1))  # 32 at depth 4
+        for i in range(self.depth):
+            x = Up(ch, dtype=self.dtype, name=f"up{i+1}")(
+                x, skips[-(i + 1)], train
+            )
+            ch //= 2
+        return OutConv(self.output_channels, dtype=self.dtype, name="outc")(x)

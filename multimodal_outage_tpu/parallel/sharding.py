@@ -1,0 +1,151 @@
+"""SPMD sharding rules and the sharded train step.
+
+The reference is strictly single-device (SURVEY §2 "Parallelism &
+communication": no DP/TP/PP/SP, no comms backend). The TPU-native scaling
+story, per BASELINE.json's north star (data-parallel pjit over a v5p mesh):
+
+  data axis  — batch-dim data parallelism. Batches are sharded on their
+               leading dim; XLA inserts the gradient psum over ICI.
+  model axis — tensor parallelism over the bottleneck MLP hidden dims,
+               Megatron-style column→row parallel pairs:
+                 encoder.fc1 (4096→1024)  column-parallel (shard out dim)
+                 encoder.fc2 (1024→256)   row-parallel   (shard in dim)
+                 decoder.fc1 / decoder.fc2 likewise
+                 st_gnn.end_conv_1 / end_conv_2 (256→512→256) likewise
+               XLA emits one psum per row-parallel matmul; everything else
+               is replicated (the U-Net's 4..64-channel convs are far too
+               small to shard profitably — batch DP covers them).
+
+Validated without hardware on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=N, SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from multimodal_outage_tpu.train.state import TrainState, make_optimizer
+
+# (module, param-name) → PartitionSpec, matched against the tail of the
+# pytree path. Applies uniformly to params and to Adam mu/nu (same paths).
+_TP_RULES: Dict[Tuple[str, ...], P] = {
+    ("encoder", "fc1", "kernel"): P(None, MODEL_AXIS),
+    ("encoder", "fc1", "bias"): P(MODEL_AXIS),
+    ("encoder", "fc2", "kernel"): P(MODEL_AXIS, None),
+    ("decoder", "fc1", "kernel"): P(None, MODEL_AXIS),
+    ("decoder", "fc1", "bias"): P(MODEL_AXIS),
+    ("decoder", "fc2", "kernel"): P(MODEL_AXIS, None),
+    ("st_gnn", "end_conv_1", "kernel"): P(None, MODEL_AXIS),
+    ("st_gnn", "end_conv_1", "bias"): P(MODEL_AXIS),
+    ("st_gnn", "end_conv_2", "kernel"): P(MODEL_AXIS, None),
+}
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            names.append(str(k.key))
+        elif isinstance(k, jax.tree_util.GetAttrKey):
+            names.append(str(k.name))
+    return tuple(names)
+
+
+def _pspec_for(path, leaf) -> P:
+    names = _path_names(path)
+    for pattern, spec in _TP_RULES.items():
+        k = len(pattern)
+        if len(names) >= k and tuple(names[-k:]) == pattern:
+            if getattr(leaf, "ndim", 0) == len(spec):
+                return spec
+    return P()
+
+
+def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    """TrainState-shaped pytree of NamedShardings (TP rules + replication)."""
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _pspec_for(path, leaf))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, state)
+
+
+def batch_shardings(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+    """Leading (batch) dim over the data axis."""
+    return {
+        k: NamedSharding(mesh, P(DATA_AXIS)) for k in batch
+    }
+
+
+def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
+    shardings = state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+    shardings = batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
+    """jit-compiled SPMD train step with explicit in/out shardings.
+
+    The returned step has the same signature as steps.make_train_step's:
+    (state, batch, supports, lr, rng) → (state, metrics).
+    """
+    from multimodal_outage_tpu.core import metrics as M
+
+    tx = make_optimizer()
+
+    def train_step(state, batch, supports, lr, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            yhat, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"],
+                batch["date_feats"],
+                supports,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            return M.mse(yhat, batch["y"]), (yhat, mutated["batch_stats"])
+
+        (loss, (yhat, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = M.regression_metrics(yhat, batch["y"])
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    st_shard = state_shardings(mesh, state)
+    repl = NamedSharding(mesh, P())
+    data_shard = NamedSharding(mesh, P(DATA_AXIS))
+    batch_shard = {
+        "x": data_shard,
+        "y": data_shard,
+        "date_feats": data_shard,
+    }
+    metric_shard = {k: repl for k in ("loss", "mae", "mape", "rmse")}
+    return jax.jit(
+        train_step,
+        in_shardings=(st_shard, batch_shard, repl, repl, repl),
+        out_shardings=(st_shard, metric_shard),
+        donate_argnums=(0,) if donate else (),
+    )

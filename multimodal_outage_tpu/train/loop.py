@@ -1,0 +1,315 @@
+"""Training loop: fit / evaluate / predict.
+
+Framework-native replacement for the reference's Lightning harness
+(reference lit.py:18-205): epoch loop with per-epoch cosine LR, early
+stopping on val_loss (patience 10, reference lit.py:179-185), orbax
+best-checkpoint (reference lit.py:187-196), and end-of-fit best-model
+sweeps over val and the held-out hurricane (the PrintMetricsCallback /
+TestBestModelCallback equivalents, reference lit.py:74-140).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_outage_tpu.core import metrics as M
+from multimodal_outage_tpu.core.checkpoint import CheckpointManager
+from multimodal_outage_tpu.core.config import Config, asdict
+from multimodal_outage_tpu.core.registry import leave_one_out
+from multimodal_outage_tpu.core.run_logging import RunLogger, device_memory_stats
+from multimodal_outage_tpu.data import adjacency
+from multimodal_outage_tpu.data.dataset import (
+    WindowDataset,
+    batch_indices,
+    train_val_split,
+)
+from multimodal_outage_tpu.data.pipeline import PrefetchIterator
+from multimodal_outage_tpu.data.store import load_store
+from multimodal_outage_tpu.models.fusion import build_model
+from multimodal_outage_tpu.train.state import (
+    TrainState,
+    cosine_annealing_lr,
+    create_train_state,
+    param_count,
+)
+from multimodal_outage_tpu.train.steps import (
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+
+def build_supports(cfg: Config, n_counties: int) -> jnp.ndarray:
+    """[S, N, N] static GCN supports from the adjacency asset (or synthetic
+    for small-N test configs)."""
+    if n_counties == 67:
+        _, sup = adjacency.load_supports(cfg.adjacency_csv, cfg.model.gwnet.adjtype)
+    else:
+        adj = adjacency.synthetic_adjacency(n_counties, seed=cfg.train.seed)
+        sup = adjacency.build_supports(adj, cfg.model.gwnet.adjtype)
+    return jnp.asarray(np.stack(sup))
+
+
+def prepare_datasets(
+    cfg: Config, test_case: str
+) -> Tuple[WindowDataset, np.ndarray, np.ndarray, WindowDataset]:
+    """Leave-one-hurricane-out protocol (reference lit.py:143-175).
+
+    Returns (train_val_dataset, train_idx, val_idx, test_dataset)."""
+    store = load_store(cfg.data.data_dir)
+    train_val_cases, test_cases = leave_one_out(test_case)
+    ds = WindowDataset.from_case_study(
+        store, train_val_cases, cfg.data.dataset_range, cfg.data.horizon
+    )
+    test_ds = WindowDataset.from_case_study(
+        store, test_cases, cfg.data.dataset_range, cfg.data.horizon
+    )
+    train_idx, val_idx = train_val_split(
+        len(ds), cfg.data.val_fraction, cfg.train.seed
+    )
+    return ds, train_idx, val_idx, test_ds
+
+
+def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int):
+    # re-map positions through the split's index array
+    def remapped():
+        for b in batch_indices(len(idx), cfg.train.batch_size, shuffle, seed):
+            yield ds.gather_batch(idx[b])
+
+    return PrefetchIterator(
+        remapped(),
+        mean=cfg.data.mean,
+        std=cfg.data.std,
+        image_size=cfg.data.image_size,
+        depth=cfg.data.prefetch,
+    )
+
+
+def evaluate(
+    eval_step, state: TrainState, ds, idx, cfg: Config, supports
+) -> Dict[str, float]:
+    """Mean of per-batch metrics (reference lit.py:100-106 reduction)."""
+    agg = M.MeanAggregator()
+    for batch in _epoch_iter(ds, idx, cfg, shuffle=False, seed=0):
+        agg.update(eval_step(state.params, state.batch_stats, batch, supports))
+    return agg.compute()
+
+
+def fit(
+    cfg: Config,
+    test_case: str = "michael",
+    run_dir: Optional[str] = None,
+    progress: bool = True,
+) -> Dict[str, float]:
+    """Train with early stopping; returns final best-model metrics."""
+    run_dir = run_dir or os.path.join(
+        cfg.train.checkpoint_dir, cfg.train.job_id
+    )
+    logger = RunLogger(run_dir, config=asdict(cfg))
+    ckpt = CheckpointManager(
+        os.path.join(run_dir, "checkpoints"), cfg.train.keep_top_k
+    )
+
+    ds, train_idx, val_idx, test_ds = prepare_datasets(cfg, test_case)
+    if progress:
+        print(
+            f"Size of train_set: {len(train_idx)}, val_set: {len(val_idx)}, "
+            f"and test_set: {len(test_ds)}"
+        )
+    supports = build_supports(cfg, ds.store.n_counties)
+    model = build_model(cfg.model, cfg.data.horizon)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sample = ds.gather_batch(np.array([0]))
+    from multimodal_outage_tpu.data.pipeline import preprocess_batch
+
+    sample_dev = preprocess_batch(
+        jax.device_put(sample),
+        jnp.float32(cfg.data.mean),
+        jnp.float32(cfg.data.std),
+        cfg.data.image_size,
+    )
+    state = create_train_state(model, rng, sample_dev, supports)
+    if progress:
+        print(f"Model parameters: {param_count(state.params):,}")
+
+    train_step = make_train_step(model, donate=cfg.train.donate_buffers)
+    eval_step = make_eval_step(model)
+
+    best_val = float("inf")
+    best_epoch = -1
+    epochs_without_improvement = 0
+    step_count = 0
+
+    for epoch in range(cfg.train.epochs):
+        lr = cosine_annealing_lr(epoch, cfg.train.lr, cfg.train.cosine_t_max)
+        t0 = time.time()
+        train_agg = M.MeanAggregator()
+        for batch in _epoch_iter(
+            ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch
+        ):
+            state, step_metrics = train_step(
+                state, batch, supports, jnp.float32(lr), rng
+            )
+            step_count += 1
+            if step_count % cfg.train.log_every == 0:
+                host_metrics = {k: float(v) for k, v in step_metrics.items()}
+                logger.log(
+                    {
+                        "phase": "train",
+                        "epoch": epoch,
+                        "step": step_count,
+                        "lr": lr,
+                        **{f"train_{k}": v for k, v in host_metrics.items()},
+                        **device_memory_stats(),
+                    }
+                )
+            train_agg.update(step_metrics)
+        train_metrics = train_agg.compute()
+
+        val_metrics = evaluate(eval_step, state, ds, val_idx, cfg, supports)
+        dt = time.time() - t0
+        logger.log(
+            {
+                "phase": "val",
+                "epoch": epoch,
+                "epoch_seconds": dt,
+                **{f"val_{k}": v for k, v in val_metrics.items()},
+            }
+        )
+        if progress:
+            print(
+                f"epoch {epoch}: train_loss={train_metrics.get('loss', float('nan')):.5f} "
+                f"val_loss={val_metrics['loss']:.5f} ({dt:.1f}s, lr={lr:.2e})"
+            )
+
+        ckpt.save(
+            epoch,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+            metrics={"val_loss": val_metrics["loss"]},
+        )
+
+        if val_metrics["loss"] < best_val:
+            best_val = val_metrics["loss"]
+            best_epoch = epoch
+            epochs_without_improvement = 0
+        else:
+            epochs_without_improvement += 1
+            if epochs_without_improvement >= cfg.train.early_stop_patience:
+                if progress:
+                    print(f"Early stopping at epoch {epoch}")
+                break
+
+    # End-of-fit: reload the best checkpoint and sweep val + held-out test
+    # (reference PrintMetricsCallback / TestBestModelCallback,
+    # lit.py:74-140).
+    restored = ckpt.restore(
+        template={
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+    )
+    best_state = TrainState(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    final_val = evaluate(eval_step, best_state, ds, val_idx, cfg, supports)
+    test_all = np.arange(len(test_ds))
+    final_test = evaluate(eval_step, best_state, test_ds, test_all, cfg, supports)
+    results = {
+        "best_epoch": best_epoch,
+        **{f"val_{k}": v for k, v in final_val.items()},
+        **{f"test_{k}": v for k, v in final_test.items()},
+    }
+    logger.log({"phase": "final", **results})
+    if progress:
+        print(
+            "Best Model Metrics:\n"
+            f"Validation Loss: {final_val['loss']}\nValidation MAE: {final_val['mae']}\n"
+            f"Validation MAPE: {final_val['mape']}\nValidation RMSE: {final_val['rmse']}\n"
+            f"Test Loss: {final_test['loss']}; Test MAE: {final_test['mae']}; "
+            f"Test MAPE: {final_test['mape']}; Test RMSE: {final_test['rmse']}"
+        )
+    ckpt.close()
+    logger.close()
+    return results
+
+
+def predict(
+    cfg: Config,
+    checkpoint_dir: str,
+    test_case: str,
+    step: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+    """Inference harness (reference tlit.py:46-94): load checkpoint, sweep
+    the held-out hurricane, return (preds, targets, metrics)."""
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        raise FileNotFoundError(
+            f"no checkpoints found in {checkpoint_dir!r}"
+        )
+    store = load_store(cfg.data.data_dir)
+    _, test_cases = leave_one_out(test_case)
+    test_ds = WindowDataset.from_case_study(
+        store, test_cases, cfg.data.dataset_range, cfg.data.horizon
+    )
+    supports = build_supports(cfg, store.n_counties)
+    model = build_model(cfg.model, cfg.data.horizon)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sample = test_ds.gather_batch(np.array([0]))
+    from multimodal_outage_tpu.data.pipeline import preprocess_batch
+
+    sample_dev = preprocess_batch(
+        jax.device_put(sample),
+        jnp.float32(cfg.data.mean),
+        jnp.float32(cfg.data.std),
+        cfg.data.image_size,
+    )
+    state = create_train_state(model, rng, sample_dev, supports)
+    ckpt = CheckpointManager(checkpoint_dir)
+    restored = ckpt.restore(
+        step=step,
+        template={
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+    )
+    predict_step = make_predict_step(model)
+    eval_step = make_eval_step(model)
+
+    agg = M.MeanAggregator()
+    preds, targets = [], []
+    all_idx = np.arange(len(test_ds))
+    for batch in _epoch_iter(test_ds, all_idx, cfg, shuffle=False, seed=0):
+        yhat = predict_step(
+            restored["params"], restored["batch_stats"], batch, supports
+        )
+        agg.update(
+            eval_step(restored["params"], restored["batch_stats"], batch, supports)
+        )
+        preds.append(np.asarray(yhat))
+        targets.append(np.asarray(batch["y"]))
+    ckpt.close()
+    return (
+        np.concatenate(preds, axis=0),
+        np.concatenate(targets, axis=0),
+        agg.compute(),
+    )

@@ -1,0 +1,219 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_outage_tpu.core.config import ModelConfig, GWNetConfig
+from multimodal_outage_tpu.models.date2vec import Date2Vec
+from multimodal_outage_tpu.models.dcrnn import DCRNN
+from multimodal_outage_tpu.models.fusion import build_model
+from multimodal_outage_tpu.models.gwnet import GraphWaveNet, nconv
+from multimodal_outage_tpu.models.layers import GroupedBatchNorm
+from multimodal_outage_tpu.models.unet import (
+    BottleneckDecoder,
+    BottleneckEncoder,
+    Contraction,
+    Expansion,
+)
+
+B, N, T, H, C = 2, 4, 3, 32, 1
+KEY = jax.random.PRNGKey(0)
+
+
+def _supports(n):
+    return jnp.eye(n)[None]
+
+
+def test_date2vec_encode_structure():
+    m = Date2Vec(k=64)
+    x = jax.random.normal(KEY, (5, 6))
+    params = m.init(KEY, x)["params"]
+    out = m.apply({"params": params}, x, method=m.encode)
+    assert out.shape == (5, 64)
+    # encode = concat([fc1(x), sin(fc2(x))]) (reference date2vec.py:49-53)
+    w1, b1 = params["fc1"]["kernel"], params["fc1"]["bias"]
+    w2, b2 = params["fc2"]["kernel"], params["fc2"]["bias"]
+    expected = jnp.concatenate([x @ w1 + b1, jnp.sin(x @ w2 + b2)], -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+
+def test_grouped_batchnorm_per_group_stats():
+    m = GroupedBatchNorm(num_group_axes=1)
+    x = jax.random.normal(KEY, (3, 16, 2)) * 5 + 2
+    variables = m.init(KEY, x, train=True)
+    y, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    # each group normalized independently to ~zero-mean unit-var
+    y = np.asarray(y)
+    np.testing.assert_allclose(y.mean(axis=1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(y.std(axis=1), 1.0, atol=1e-2)
+
+
+def test_grouped_batchnorm_eval_uses_running_stats():
+    m = GroupedBatchNorm(num_group_axes=1)
+    x = jax.random.normal(KEY, (3, 64, 2)) * 3 + 1
+    variables = m.init(KEY, x, train=True)
+    bs = variables["batch_stats"]
+    # initial running stats: mean 0, var 1 ⇒ eval output == input (scale=1)
+    y = m.apply({"params": variables["params"], "batch_stats": bs}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+    # running stats move toward batch stats after a train step
+    _, mutated = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    new_mean = np.asarray(mutated["batch_stats"]["mean"])
+    assert np.all(np.abs(new_mean - 0.1 * np.asarray(x).mean((0, 1))) < 0.05)
+
+
+def test_contraction_shapes_and_skips():
+    m = Contraction(base_channels=4, depth=4)
+    x = jnp.zeros((B, N, T, H, H, C))
+    variables = m.init(KEY, x, train=False)
+    (bottleneck, skips), _ = m.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert bottleneck.shape == (B, N, T, H // 16, H // 16, 64)
+    assert [s.shape[-1] for s in skips] == [4, 8, 16, 32]
+    assert [s.shape[-2] for s in skips] == [H, H // 2, H // 4, H // 8]
+
+
+def test_bottleneck_mlps_roundtrip_shapes():
+    enc = BottleneckEncoder(feature_vector_size=256)
+    x = jnp.zeros((B, N, T, 2, 2, 64))
+    v = enc.init(KEY, x, train=False)
+    z = enc.apply(v, x, train=False)
+    assert z.shape == (B, N, T, 256)
+
+    dec = BottleneckDecoder(grid_size=2, grid_channels=64)
+    v = dec.init(KEY, z, train=False)
+    d = dec.apply(v, z, train=False)
+    assert d.shape == (B, N, T, 2, 2, 64)
+
+
+def test_expansion_shapes():
+    m = Expansion(output_channels=1, base_channels=4, depth=4)
+    x = jnp.zeros((B, N, T, H // 16, H // 16, 64))
+    skips = tuple(
+        jnp.zeros((B, N, T, H // (2**i), H // (2**i), 4 * 2**i))
+        for i in range(4)
+    )
+    variables = m.init(KEY, x, skips, train=False)
+    y, _ = m.apply(variables, x, skips, train=True, mutable=["batch_stats"])
+    assert y.shape == (B, N, T, H, H, 1)
+
+
+def test_nconv_matches_reference_einsum():
+    x = jax.random.normal(KEY, (1, 4, 3, 2))  # [B, N, T, C]
+    a = jax.random.normal(KEY, (4, 4))
+    out = nconv(x, a)
+    # reference 'ncvl,vw->ncwl' on [B, C, N, T] layout
+    x_t = jnp.transpose(x, (0, 3, 1, 2))
+    ref = jnp.einsum("ncvl,vw->ncwl", x_t, a)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.transpose(ref, (0, 2, 3, 1))), atol=1e-5
+    )
+
+
+def test_gwnet_shapes_and_grads():
+    m = GraphWaveNet(out_dim=16, skip_channels=8, end_channels=12,
+                     residual_channels=6, dilation_channels=6)
+    x = jax.random.normal(KEY, (B, N, T, 20))
+    sup = _supports(N)
+    variables = m.init({"params": KEY, "dropout": KEY}, x, sup, train=False)
+    out = m.apply(variables, x, sup, train=False)
+    assert out.shape == (B, N, T, 16)
+
+    def loss(params):
+        y = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, sup, train=False,
+        )
+        return jnp.sum(y**2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # adaptive adjacency factors receive gradient
+    assert np.any(np.asarray(grads["nodevec1"]) != 0)
+
+
+def test_gwnet_temporal_kernel_preserves_length():
+    m = GraphWaveNet(out_dim=8, kernel_size=2, blocks=2, layers=2,
+                     residual_channels=4, dilation_channels=4,
+                     skip_channels=6, end_channels=6)
+    assert m.receptive_field == 7  # 1 + (1+2) + (1+2)
+    x = jax.random.normal(KEY, (1, N, 5, 12))
+    sup = _supports(N)
+    variables = m.init({"params": KEY, "dropout": KEY}, x, sup, train=False)
+    out = m.apply(variables, x, sup, train=False)
+    assert out.shape == (1, N, 5, 8)
+
+
+def test_gwnet_reference_view_quirk_is_permutation():
+    """Quirk mode reproduces torch's .view memory reinterpret
+    (reference models/graph_wavenet.py:189,255)."""
+    n, t, c = 4, 3, 24
+    x = jnp.arange(n * t * c, dtype=jnp.float32).reshape(1, n, t, c)
+    scrambled = x.reshape(1, c, n, t).transpose(0, 2, 3, 1)
+    # torch equivalence check via numpy reshape (same C-order reinterpret)
+    xt = np.asarray(x[0])  # [N, T, C]
+    torch_view = xt.reshape(c, n, t)  # .view(C, N, T)
+    np.testing.assert_array_equal(
+        np.asarray(scrambled[0]), np.transpose(torch_view, (1, 2, 0))
+    )
+
+
+def test_dcrnn_shapes():
+    m = DCRNN(output_dim=16, horizon=T, rnn_units=8, num_rnn_layers=2,
+              max_diffusion_step=2)
+    x = jax.random.normal(KEY, (B, N, T, 12))
+    sup = jnp.stack([jnp.eye(N), jnp.eye(N)])  # dual random walk
+    variables = m.init(KEY, x, sup, train=False)
+    out = m.apply(variables, x, sup, train=False)
+    assert out.shape == (B, N, T, 16)
+
+
+@pytest.mark.parametrize("st_gnn", ["gwnet", "dcrnn"])
+def test_fusion_forward_and_grad(st_gnn):
+    cfg = ModelConfig(st_gnn=st_gnn, compute_dtype="float32")
+    model = build_model(cfg, horizon=T)
+    x = jax.random.normal(KEY, (B, N, T, H, H, 1))
+    feats = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (B, T, 1)
+    )
+    sup = _supports(N)
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    y = model.apply(variables, x, feats, sup, train=False)
+    assert y.shape == (B, N, T, H, H, 1)
+    assert y.dtype == jnp.float32
+
+    def loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, feats, sup, train=False,
+        )
+        return jnp.mean(out**2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(
+        np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads)
+    )
+    # date2vec is frozen by default (reference uses a frozen pretrained
+    # checkpoint, utils.py:108-109)
+    d2v_grads = jax.tree.leaves(grads["date2vec"])
+    assert all(np.all(np.asarray(g) == 0) for g in d2v_grads)
+
+
+def test_fusion_multichannel():
+    """Multimodal fusion config: satellite + weather channels
+    (BASELINE.md config 4; reference Modified_UNET input_channels param,
+    models/unet.py:202)."""
+    cfg = ModelConfig(input_channels=3, output_channels=2, compute_dtype="float32")
+    model = build_model(cfg, horizon=T)
+    x = jax.random.normal(KEY, (1, N, T, H, H, 3))
+    feats = jnp.zeros((1, T, 6))
+    sup = _supports(N)
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    y = model.apply(variables, x, feats, sup, train=False)
+    assert y.shape == (1, N, T, H, H, 2)

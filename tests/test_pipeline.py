@@ -1,0 +1,66 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_outage_tpu.data.pipeline import (
+    PrefetchIterator,
+    denormalize,
+    preprocess_batch,
+)
+
+
+def _host_batch(b=2, t=3, n=4, s=16):
+    rng = np.random.default_rng(0)
+    return {
+        "past": rng.normal(size=(b, t, n, s, s)).astype(np.float32),
+        "future": rng.normal(size=(b, t, n, s, s)).astype(np.float32),
+        "date_feats": np.zeros((b, t, 6), np.float32),
+    }
+
+
+def test_preprocess_layout_and_normalization():
+    batch = _host_batch()
+    out = preprocess_batch(
+        jax.device_put(batch), jnp.float32(2.0), jnp.float32(4.0), 16
+    )
+    assert out["x"].shape == (2, 4, 3, 16, 16, 1)
+    # permute [B,T,N,H,W] → [B,N,T,H,W,1] (reference lit.py:31) + normalize
+    expected = (batch["past"].transpose(0, 2, 1, 3, 4) - 2.0) / 4.0
+    np.testing.assert_allclose(
+        np.asarray(out["x"][..., 0]), expected, atol=1e-6
+    )
+
+
+def test_preprocess_resize():
+    batch = _host_batch(s=8)
+    out = preprocess_batch(
+        jax.device_put(batch), jnp.float32(0.0), jnp.float32(1.0), 16
+    )
+    assert out["x"].shape == (2, 4, 3, 16, 16, 1)
+
+
+def test_denormalize_roundtrip():
+    x = jnp.array([0.5, -1.0])
+    y = denormalize((x - 3.0) / 2.0, 3.0, 2.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_prefetch_iterator_yields_all():
+    batches = [_host_batch() for _ in range(3)]
+    it = PrefetchIterator(iter(batches), mean=0.0, std=1.0, image_size=16)
+    out = list(it)
+    assert len(out) == 3
+    for o in out:
+        assert o["x"].shape == (2, 4, 3, 16, 16, 1)
+
+
+def test_prefetch_iterator_propagates_errors():
+    def gen():
+        yield _host_batch()
+        raise RuntimeError("boom")
+
+    it = PrefetchIterator(gen(), mean=0.0, std=1.0, image_size=16)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)

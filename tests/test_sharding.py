@@ -1,0 +1,108 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh (SURVEY §4.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_outage_tpu.core.config import ModelConfig
+from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from multimodal_outage_tpu.models.fusion import build_model
+from multimodal_outage_tpu.parallel.sharding import (
+    make_sharded_train_step,
+    shard_batch,
+    shard_state,
+    state_shardings,
+)
+from multimodal_outage_tpu.train.state import create_train_state
+from multimodal_outage_tpu.train.steps import make_train_step
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+N, T, S = 4, 2, 16
+
+
+def _setup(mesh, b):
+    cfg = ModelConfig(compute_dtype="float32")
+    model = build_model(cfg, horizon=T)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "x": jax.random.normal(rng, (b, N, T, S, S, 1)),
+        "y": jax.random.normal(rng, (b, N, T, S, S, 1)),
+        "date_feats": jnp.zeros((b, T, 6)),
+    }
+    supports = jnp.eye(N)[None]
+    state = create_train_state(model, rng, batch, supports)
+    return model, state, batch, supports
+
+
+def test_mesh_construction():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    mesh = make_mesh(data=-1, model=2)
+    assert mesh.shape[DATA_AXIS] == jax.device_count() // 2
+
+
+def test_tp_rules_shard_bottleneck_mlps():
+    mesh = make_mesh(data=4, model=2)
+    model, state, batch, supports = _setup(mesh, b=4)
+    shardings = state_shardings(mesh, state)
+    enc_fc1 = shardings.params["encoder"]["fc1"]["kernel"].spec
+    assert enc_fc1 == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    enc_fc2 = shardings.params["encoder"]["fc2"]["kernel"].spec
+    assert enc_fc2 == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    # conv params replicated
+    conv = shardings.params["contraction"]["inc"]["conv1"]["kernel"].spec
+    assert conv == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_step_runs(dp, tp):
+    mesh = make_mesh(data=dp, model=tp)
+    model, state, batch, supports = _setup(mesh, b=dp)
+    state = shard_state(mesh, state)
+    batch = shard_batch(mesh, batch)
+    step = make_sharded_train_step(model, mesh, state, donate=False)
+    new_state, metrics = step(
+        state, batch, supports, jnp.float32(1e-3), jax.random.PRNGKey(0)
+    )
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_sharded_matches_single_device():
+    """DP+TP step computes the same update as the unsharded step."""
+    mesh = make_mesh(data=4, model=2)
+    model, state, batch, supports = _setup(mesh, b=4)
+
+    ref_step = make_train_step(model, donate=False)
+    rng = jax.random.PRNGKey(7)
+    ref_state, ref_metrics = ref_step(
+        state, batch, supports, jnp.float32(1e-3), rng
+    )
+
+    sh_state = shard_state(mesh, state)
+    sh_batch = shard_batch(mesh, batch)
+    step = make_sharded_train_step(model, mesh, sh_state, donate=False)
+    new_state, metrics = step(
+        sh_state, sh_batch, supports, jnp.float32(1e-3), rng
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    new_leaves = jax.tree.leaves(new_state.params)
+    for a, b in zip(ref_leaves, new_leaves):
+        # tolerate collective reduction-order float noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

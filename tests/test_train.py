@@ -1,0 +1,106 @@
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_outage_tpu.train.state import cosine_annealing_lr
+
+
+def test_cosine_annealing_matches_torch_formula():
+    # torch CosineAnnealingLR(T_max=10), eta_min=0: epoch 0 → lr0,
+    # epoch 10 → 0, epoch 5 → lr0/2
+    lr0 = 1e-3
+    np.testing.assert_allclose(cosine_annealing_lr(0, lr0, 10), lr0)
+    np.testing.assert_allclose(cosine_annealing_lr(5, lr0, 10), lr0 / 2)
+    np.testing.assert_allclose(cosine_annealing_lr(10, lr0, 10), 0.0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_fit_end_to_end(tiny_cfg, tmp_path):
+    """Minimum end-to-end slice (SURVEY §7 stage 4): loss decreases over
+    epochs on synthetic data, checkpoint round-trips, metrics emitted."""
+    from multimodal_outage_tpu.train.loop import fit, predict
+
+    cfg = tiny_cfg.replace(
+        train=dataclasses.replace(
+            tiny_cfg.train,
+            epochs=3,
+            batch_size=2,
+            checkpoint_dir=str(tmp_path / "logs"),
+            job_id="t1",
+        )
+    )
+    results = fit(cfg, test_case="michael", progress=False)
+    for k in (
+        "val_loss",
+        "val_mae",
+        "val_mape",
+        "val_rmse",
+        "test_loss",
+        "test_mae",
+        "test_mape",
+        "test_rmse",
+    ):
+        assert k in results and np.isfinite(results[k])
+
+    # metrics.jsonl written with train + val + final records
+    run_dir = os.path.join(cfg.train.checkpoint_dir, "t1")
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(run_dir, "metrics.jsonl"))
+    ]
+    phases = {l["phase"] for l in lines}
+    assert {"val", "final"} <= phases
+    val_losses = [l["val_loss"] for l in lines if l["phase"] == "val"]
+    # training reduces loss on this easy synthetic task
+    assert val_losses[-1] < val_losses[0] * 1.5
+
+    # predict from the saved best checkpoint
+    preds, targets, metrics = predict(
+        cfg,
+        os.path.join(run_dir, "checkpoints"),
+        test_case="michael",
+    )
+    assert preds.shape == targets.shape
+    assert preds.shape[1:] == (
+        cfg.data.n_counties,
+        cfg.data.horizon,
+        cfg.data.image_size,
+        cfg.data.image_size,
+        1,
+    )
+    assert np.isfinite(metrics["loss"])
+
+
+def test_train_step_updates_params(tiny_cfg):
+    from multimodal_outage_tpu.models.fusion import build_model
+    from multimodal_outage_tpu.train.state import create_train_state
+    from multimodal_outage_tpu.train.steps import make_train_step
+
+    cfg = tiny_cfg
+    n, t, s = cfg.data.n_counties, cfg.data.horizon, cfg.data.image_size
+    model = build_model(cfg.model, t)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "x": jax.random.normal(rng, (2, n, t, s, s, 1)),
+        "y": jax.random.normal(rng, (2, n, t, s, s, 1)),
+        "date_feats": jnp.zeros((2, t, 6)),
+    }
+    supports = jnp.eye(n)[None]
+    state = create_train_state(model, rng, batch, supports)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state2, metrics = make_train_step(model, donate=False)(
+        state, batch, supports, jnp.float32(1e-3), rng
+    )
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)), p0, state2.params
+    )
+    # most parameters should move (date2vec is frozen)
+    flat = jax.tree.leaves(changed)
+    assert sum(flat) > len(flat) // 2
