@@ -118,12 +118,14 @@ def bench_gwnet_forecast(steps=50) -> Dict:
         x, sup, train=False,
     )
 
+    # NB: supports passed as an argument — embedded jit constants take a
+    # pathological slow path on the tunneled TPU backend.
     @jax.jit
-    def fwd(v, x):
+    def fwd(v, x, sup):
         return m.apply(v, x, sup, train=False)
 
     def run():
-        jax.block_until_ready(fwd(variables, x))
+        jax.block_until_ready(fwd(variables, x, sup))
 
     times = _time_steps(run, steps)
     p50 = statistics.median(times) * 1e3
@@ -203,7 +205,61 @@ def bench_sharded_pipeline(steps=10) -> Dict:
     }
 
 
+def bench_e2e_train(steps=20) -> Dict:
+    """End-to-end training throughput INCLUDING the input pipeline: a
+    synthetic packed store held HBM-resident, per-step device window
+    gather + normalize + train step (the framework's real training path)."""
+    import tempfile
+
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+    from multimodal_outage_tpu.data.synthetic import generate_store
+
+    b, t, s = 4, 7, 128
+    with tempfile.TemporaryDirectory() as tmp:
+        generate_store(tmp, n_counties=67, image_size=s, margin=20, seed=0)
+        store = load_store(tmp)
+        ds = WindowDataset.from_case_study(
+            store, HURRICANES, dataset_range=15, horizon=t
+        )
+        pipe = DevicePipeline(store, 3.2, 10.4, s)
+        n = store.n_counties
+
+        model_cfg = ModelConfig(compute_dtype="bfloat16")
+        model = build_model(model_cfg, horizon=t)
+        supports = jnp.eye(n)[None]
+        rng = jax.random.PRNGKey(0)
+        batch0 = pipe.batch(ds, np.arange(b))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+        lr = jnp.float32(1e-3)
+        n_samples = len(ds)
+
+        i = 0
+
+        def run():
+            nonlocal state, i
+            batch = pipe.batch(ds, (np.arange(b) + i) % (n_samples - b))
+            i += 1
+            state, m = step(state, batch, supports, lr, rng)
+            jax.block_until_ready(m["loss"])
+
+        times = _time_steps(run, steps)
+        med = statistics.median(times)
+        tiles = b * n * t
+        return {
+            "metric": "e2e_train_tiles_per_sec_per_chip",
+            "value": round(tiles / med, 1),
+            "unit": "tiles/sec/chip (incl. input pipeline)",
+            "vs_baseline": round(tiles / med / NORTH_STAR_TILES_PER_SEC, 3),
+            "detail": {"step_seconds_median": med, "tiles_per_step": tiles},
+        }
+
+
 _BENCHMARKS = {
+    "e2e_train": bench_e2e_train,
     "unet_train": bench_unet_train,
     "unet_cpu_b4": bench_unet_cpu_b4,
     "gwnet_forecast": bench_gwnet_forecast,

@@ -59,6 +59,9 @@ def _build_config(args):
         batch_size=args.batch_size,
         job_id=getattr(args, "job_id", "test"),
         seed=getattr(args, "seed", 42),
+        resume=getattr(args, "resume", False),
+        profile_dir=getattr(args, "profile_dir", None),
+        debug_nans=getattr(args, "debug_nans", False),
     )
     return Config(data=data, model=model, train=train)
 
@@ -75,6 +78,16 @@ def main(argv=None) -> int:
     p_train.add_argument("--seed", type=int, default=42)
     p_train.add_argument(
         "--num_runs", type=int, default=1, help="Repeat the experiment N times"
+    )
+    p_train.add_argument(
+        "--resume", action="store_true", help="Continue from latest checkpoint"
+    )
+    p_train.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="Capture a jax.profiler trace of a few train steps here",
+    )
+    p_train.add_argument(
+        "--debug_nans", action="store_true", help="Enable jax_debug_nans"
     )
 
     p_eval = sub.add_parser("evaluate", help="Evaluate a checkpoint")
@@ -94,6 +107,20 @@ def main(argv=None) -> int:
     p_synth.add_argument("--image_size", type=int, default=128)
     p_synth.add_argument("--margin", type=int, default=45)
     p_synth.add_argument("--seed", type=int, default=42)
+
+    p_d2v = sub.add_parser(
+        "pretrain-d2v", help="Pre-train a Date2Vec replacement checkpoint"
+    )
+    p_d2v.add_argument("--out", type=str, default="d2v_model/d2v.npz")
+    p_d2v.add_argument("--k", type=int, default=64)
+    p_d2v.add_argument("--steps", type=int, default=2000)
+
+    p_ingest = sub.add_parser(
+        "ingest", help="Pack per-county/day raw files into the store layout"
+    )
+    p_ingest.add_argument("--raw_dir", type=str, required=True)
+    p_ingest.add_argument("--out_dir", type=str, required=True)
+    p_ingest.add_argument("--image_size", type=int, default=128)
 
     p_bench = sub.add_parser("bench", help="Run benchmark suite")
     p_bench.add_argument("--config", type=str, default="unet_train")
@@ -173,6 +200,27 @@ def main(argv=None) -> int:
                 std=cfg.data.std,
             )
             print(f"Saved risk maps to {args.risk_maps}")
+        return 0
+
+    if args.command == "pretrain-d2v":
+        from multimodal_outage_tpu.train.date2vec_pretrain import (
+            pretrain_date2vec,
+            save_bundle,
+        )
+
+        params, loss = pretrain_date2vec(k=args.k, steps=args.steps)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_bundle(params, args.out)
+        print(json.dumps({"out": args.out, "final_loss": loss}))
+        return 0
+
+    if args.command == "ingest":
+        from multimodal_outage_tpu.data.acquisition import ingest_directory
+
+        frames, dates = ingest_directory(
+            args.raw_dir, args.out_dir, image_size=args.image_size
+        )
+        print(f"packed {args.out_dir}: frames {frames.shape}, {dates.shape[0]} dates")
         return 0
 
     if args.command == "bench":

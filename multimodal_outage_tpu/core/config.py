@@ -33,6 +33,10 @@ class DataConfig:
     std: float = DEFAULT_NTL_STD
     val_fraction: float = 0.3  # reference lit.py:161
     prefetch: int = 2  # device prefetch depth (double buffering)
+    pipeline: str = "auto"  # auto|device|host input path selection
+    # "auto" keeps the packed store HBM-resident (device-side window
+    # gather, zero host bytes/step) when it fits this budget:
+    device_store_budget_mb: int = 4096
 
 
 @dataclass(frozen=True)
@@ -104,6 +108,10 @@ class TrainConfig:
     job_id: str = "test"
     keep_top_k: int = 1  # reference lit.py:194 save_top_k=1
     donate_buffers: bool = True
+    resume: bool = False  # continue from the latest checkpoint in run dir
+    debug_nans: bool = False  # jax_debug_nans numerical sanitizer (SURVEY §5)
+    profile_dir: Optional[str] = None  # jax.profiler trace capture target
+    profile_steps: int = 5  # steps to trace when profiling
 
 
 @dataclass(frozen=True)

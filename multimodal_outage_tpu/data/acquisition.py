@@ -1,0 +1,222 @@
+"""NASA Black Marble data acquisition & ingest (host-only, offline module).
+
+Equivalent of the reference's eda/util.py (SURVEY §2 C16): downloads daily
+VNP46A2 `Gap_Filled_DNB_BRDF-Corrected_NTL` rasters ±90 days around each
+hurricane per county bbox and monthly VNP46A3 composites, then packs them
+into the framework's store layout (data/store.py).
+
+Differences from the reference, by design:
+  * The Earthdata bearer token comes from the NASA_BEARER_TOKEN env var —
+    the reference committed a (now expired) token in source
+    (eda/util.py:20; SURVEY §8.10 says do NOT replicate).
+  * Network/geo deps (blackmarblepy, geopandas, xarray) are optional and
+    gated at call time; the ingest path (per-county/day files → packed
+    store) runs without any of them.
+  * Output is the packed [D, N, H, W] store, not per-day pickles.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_outage_tpu.core.registry import HURRICANES
+from multimodal_outage_tpu.data.store import save_store
+
+_DATE_FILE_RE = re.compile(r"^(\d{4})_(\d{1,2})_(\d{1,2})\.(npy|pickle|pkl)$")
+
+
+def get_bearer_token() -> str:
+    token = os.environ.get("NASA_BEARER_TOKEN", "")
+    if not token:
+        raise RuntimeError(
+            "Set NASA_BEARER_TOKEN (NASA Earthdata bearer token) to download "
+            "Black Marble data. Tokens are never hardcoded in this repo."
+        )
+    return token
+
+
+def hurricane_date_ranges(
+    hurricanes: Dict[str, datetime.date] | None = None, margin_days: int = 90
+) -> Dict[str, Tuple[datetime.date, datetime.date]]:
+    """±margin windows per hurricane (reference eda/util.py:31-42)."""
+    hurricanes = hurricanes or HURRICANES
+    delta = datetime.timedelta(days=margin_days)
+    return {k: (d - delta, d + delta) for k, d in hurricanes.items()}
+
+
+def parse_date_filename(name: str) -> Optional[datetime.date]:
+    """'2022_9_28.npy' → date (reference filename scheme, utils.py:26)."""
+    m = _DATE_FILE_RE.match(name)
+    if not m:
+        return None
+    return datetime.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+
+
+def find_available_dates(county_dir: str) -> List[datetime.date]:
+    """Dates present for one county (reference eda/util.py:44-58)."""
+    out = []
+    for name in sorted(os.listdir(county_dir)):
+        d = parse_date_filename(name)
+        if d is not None:
+            out.append(d)
+    return out
+
+
+def find_missing_dates(
+    available: Iterable[datetime.date],
+    start: datetime.date,
+    end: datetime.date,
+) -> List[datetime.date]:
+    """Gaps in [start, end] (reference eda/util.py:216-234)."""
+    have = set(available)
+    n = (end - start).days + 1
+    return [
+        start + datetime.timedelta(days=i)
+        for i in range(n)
+        if start + datetime.timedelta(days=i) not in have
+    ]
+
+
+def common_dates(per_county: Dict[str, List[datetime.date]]) -> List[datetime.date]:
+    """Dates present for every county (reference eda/util.py:60-80)."""
+    sets = [set(v) for v in per_county.values()]
+    if not sets:
+        return []
+    return sorted(set.intersection(*sets))
+
+
+def _load_raw_frame(path: str) -> np.ndarray:
+    """Read one per-day raster file: .npy directly; xarray pickle if the
+    optional deps exist (the reference's storage format, utils.py:46-62)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), dtype=np.float32)
+    import pickle  # xarray pickle path
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    arr = np.asarray(
+        data["Gap_Filled_DNB_BRDF-Corrected_NTL"].values, dtype=np.float32
+    )
+    return arr
+
+
+def _resize_to(arr: np.ndarray, size: int) -> np.ndarray:
+    """Nearest/bilinear host resize without scipy (small one-off cost)."""
+    if arr.shape == (size, size):
+        return arr
+    h, w = arr.shape
+    yy = np.clip((np.arange(size) * h / size).astype(int), 0, h - 1)
+    xx = np.clip((np.arange(size) * w / size).astype(int), 0, w - 1)
+    return arr[yy][:, xx]
+
+
+def ingest_directory(
+    raw_dir: str,
+    out_dir: str,
+    image_size: int = 128,
+    counties: Optional[Sequence[str]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a {county}/{Y_m_d}.{npy|pickle} tree into the store layout.
+
+    Only dates common to all counties are kept (the windowing requires a
+    dense [D, N] grid). Sentinels are zeroed by save_store.
+    """
+    counties = sorted(counties or os.listdir(raw_dir))
+    per_county = {
+        c: find_available_dates(os.path.join(raw_dir, c)) for c in counties
+    }
+    dates = common_dates(per_county)
+    if not dates:
+        raise ValueError(f"no common dates across counties in {raw_dir}")
+
+    frames = np.zeros(
+        (len(dates), len(counties), image_size, image_size), np.float32
+    )
+    for ci, county in enumerate(counties):
+        cdir = os.path.join(raw_dir, county)
+        by_date = {}
+        for name in os.listdir(cdir):
+            d = parse_date_filename(name)
+            if d is not None:
+                by_date[d] = os.path.join(cdir, name)
+        for di, d in enumerate(dates):
+            frames[di, ci] = _resize_to(_load_raw_frame(by_date[d]), image_size)
+
+    date_arr = np.asarray(
+        [(d.year, d.month, d.day) for d in dates], dtype=np.int32
+    )
+    save_store(out_dir, frames, date_arr, counties)
+    return frames, date_arr
+
+
+def download_county_rasters(
+    out_dir: str,
+    hurricanes: Dict[str, datetime.date] | None = None,
+    margin_days: int = 90,
+    product_id: str = "VNP46A2",
+    variable: str = "Gap_Filled_DNB_BRDF-Corrected_NTL",
+) -> None:
+    """Download per-county daily rasters (reference eda/util.py:237-280).
+
+    Requires blackmarblepy + geopandas (not part of the baked TPU image) and
+    NASA_BEARER_TOKEN; raises a clear error otherwise.
+    """
+    token = get_bearer_token()
+    try:
+        from blackmarble.raster import bm_raster  # type: ignore
+        import geopandas as gpd  # type: ignore  # noqa: F401
+    except ImportError as e:  # pragma: no cover - network/geo deps optional
+        raise RuntimeError(
+            "blackmarblepy/geopandas are required for downloads; run this "
+            "module on a host with the acquisition extras installed"
+        ) from e
+
+    import pandas as pd  # type: ignore
+
+    ranges = hurricane_date_ranges(hurricanes, margin_days)
+    gdfs = load_florida_county_geometries()
+    for county, gdf in gdfs.items():
+        county_dir = os.path.join(out_dir, county)
+        os.makedirs(county_dir, exist_ok=True)
+        for start, end in ranges.values():
+            dates = pd.date_range(start, end, freq="D")
+            raster = bm_raster(
+                gdf,
+                product_id=product_id,
+                date_range=dates,
+                bearer=token,
+                variable=variable,
+            )
+            for ts in dates:
+                day = raster.sel(time=ts.strftime("%Y-%m-%d"))[variable]
+                np.save(
+                    os.path.join(
+                        county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"
+                    ),
+                    np.asarray(day.values, dtype=np.float32),
+                )
+
+
+def load_florida_county_geometries():  # pragma: no cover - geo deps optional
+    """GADM level-2 Florida county bbox polygons (reference
+    eda/util.py:168-174,289-307)."""
+    try:
+        import geopandas as gpd  # type: ignore
+    except ImportError as e:
+        raise RuntimeError("geopandas required for county geometries") from e
+    url = "https://geodata.ucdavis.edu/gadm/gadm4.1/json/gadm41_USA_2.json.zip"
+    gdf = gpd.read_file(url)
+    fl = gdf[gdf["NAME_1"] == "Florida"]
+    out = {}
+    for _, row in fl.iterrows():
+        name = row["NAME_2"].lower().replace(" ", "_")
+        bbox = gpd.GeoDataFrame(
+            geometry=[row.geometry.envelope], crs=fl.crs
+        )
+        out[name] = bbox
+    return out

@@ -92,6 +92,20 @@ class WindowDataset:
         sel = self.indices[i : i + self.horizon]
         return self.store.dates[sel]
 
+    def window_positions(self, batch_idx: np.ndarray) -> np.ndarray:
+        """[B, 2·horizon] store-frame positions for each sample's
+        past+future window (no frame data touched — feeds the
+        device-resident gather path)."""
+        batch_idx = np.asarray(batch_idx, dtype=np.int64)
+        win = batch_idx[:, None] + np.arange(2 * self.horizon)[None, :]
+        return self.indices[win]
+
+    def window_date_feats(self, batch_idx: np.ndarray) -> np.ndarray:
+        """[B, horizon, 6] Date2Vec inputs for each sample's past window."""
+        pos = self.window_positions(batch_idx)[:, : self.horizon]
+        dates = self.store.dates[pos.reshape(-1)]
+        return date_features(dates).reshape(len(batch_idx), self.horizon, 6)
+
     def gather_batch(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Vectorized batch assembly.
 
@@ -102,10 +116,10 @@ class WindowDataset:
         """
         h = self.horizon
         batch_idx = np.asarray(batch_idx, dtype=np.int64)
-        # window positions [B, 2h] into the filtered subset, then into store
-        win = batch_idx[:, None] + np.arange(2 * h)[None, :]
-        store_pos = self.indices[win]  # [B, 2h]
-        frames = np.asarray(self.store.frames[store_pos.reshape(-1)])
+        store_pos = self.window_positions(batch_idx)  # [B, 2h]
+        from multimodal_outage_tpu.data.native import gather_frames
+
+        frames = gather_frames(self.store.frames, store_pos.reshape(-1))
         b = batch_idx.shape[0]
         n, hh, ww = frames.shape[1:]
         frames = frames.reshape(b, 2 * h, n, hh, ww)

@@ -54,6 +54,65 @@ def denormalize(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
     return x * std + mean
 
 
+@partial(jax.jit, static_argnames=("horizon", "image_size"))
+def device_gather_batch(
+    frames: jnp.ndarray,  # [D, N, H, W] device-resident raw frame store
+    pos: jnp.ndarray,  # [B, 2·horizon] int32 frame positions
+    date_feats: jnp.ndarray,  # [B, horizon, 6]
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    horizon: int,
+    image_size: int,
+) -> Dict[str, jnp.ndarray]:
+    """Device-resident batch assembly: one HBM gather + layout + normalize.
+
+    The packed store fits in HBM (67 counties × a few hundred dates at
+    128² ≈ 1-2 GB), so windows are gathered on device — zero host bytes
+    per step, unlike the reference's 938 pickle loads per sample
+    (SURVEY §3.2). This is the default input path; the host prefetcher
+    (PrefetchIterator) remains for stores larger than HBM.
+    """
+    b = pos.shape[0]
+    win = jnp.take(frames, pos.reshape(-1), axis=0)  # [B·2h, N, H, W]
+    n, h, w = win.shape[1:]
+    win = win.reshape(b, 2 * horizon, n, h, w)
+    win = jnp.transpose(win, (0, 2, 1, 3, 4))  # [B, N, 2h, H, W]
+    if h != image_size:
+        win = jax.image.resize(
+            win, (b, n, 2 * horizon, image_size, image_size), method="bilinear"
+        )
+    win = (win[..., None] - mean) / std
+    return {
+        "x": win[:, :, :horizon],
+        "y": win[:, :, horizon:],
+        "date_feats": date_feats,
+    }
+
+
+class DevicePipeline:
+    """Keeps the packed frame store resident in HBM; batches are jitted
+    device gathers driven by tiny host-side index arrays."""
+
+    def __init__(self, store, mean: float, std: float, image_size: int):
+        self.frames = jax.device_put(np.asarray(store.frames))
+        self.mean = jnp.float32(mean)
+        self.std = jnp.float32(std)
+        self.image_size = image_size
+
+    def batch(self, dataset, batch_idx: np.ndarray) -> Dict[str, jnp.ndarray]:
+        pos = jnp.asarray(dataset.window_positions(batch_idx), jnp.int32)
+        feats = jnp.asarray(dataset.window_date_feats(batch_idx))
+        return device_gather_batch(
+            self.frames,
+            pos,
+            feats,
+            self.mean,
+            self.std,
+            dataset.horizon,
+            self.image_size,
+        )
+
+
 class PrefetchIterator:
     """Background-thread batch producer with device transfer overlap.
 

@@ -37,7 +37,9 @@ from multimodal_outage_tpu.models.unet import (
 @register_st_gnn("gwnet")
 def _build_gwnet(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
     g = cfg.gwnet
+    use_pallas = g.use_pallas and jax.default_backend() == "tpu"
     return GraphWaveNet(
+        use_pallas=use_pallas,
         out_dim=cfg.feature_vector_size,
         residual_channels=g.residual_channels,
         dilation_channels=g.dilation_channels,

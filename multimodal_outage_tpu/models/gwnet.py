@@ -89,6 +89,8 @@ class GraphWaveNet(nn.Module):
     addaptadj: bool = True
     node_embed_dim: int = 10
     reference_view_quirk: bool = False
+    use_pallas: bool = False  # fused Pallas layer (TPU; kernel_size=1 path)
+    pallas_interpret: bool = False  # interpreter mode for CPU testing
     dtype: Any = jnp.float32
 
     @property
@@ -101,6 +103,38 @@ class GraphWaveNet(nn.Module):
                 rf += scope
                 scope *= 2
         return rf
+
+    def _fused_layer(self, i: int, x: jnp.ndarray, supports: jnp.ndarray):
+        """Explicit params + fused gated-TCN/diffusion op for layer i.
+
+        Params are shared between the Pallas and jnp paths so checkpoints
+        are interchangeable across backends."""
+        from multimodal_outage_tpu.ops.gwnet_pallas import (
+            forward_reference,
+            fused_gwnet_layer,
+        )
+
+        c_in = x.shape[-1]
+        cd, cs = self.dilation_channels, self.skip_channels
+        n_terms = int(supports.shape[0]) * self.order + 1
+        kinit = nn.initializers.lecun_normal()
+        zinit = nn.initializers.zeros
+        p = [
+            self.param(f"filter_conv{i}_kernel", kinit, (c_in, cd)),
+            self.param(f"filter_conv{i}_bias", zinit, (cd,)),
+            self.param(f"gate_conv{i}_kernel", kinit, (c_in, cd)),
+            self.param(f"gate_conv{i}_bias", zinit, (cd,)),
+            self.param(f"skip_conv{i}_kernel", kinit, (cd, cs)),
+            self.param(f"skip_conv{i}_bias", zinit, (cs,)),
+            self.param(f"gconv{i}_kernel", kinit, (n_terms * cd, c_in)),
+            self.param(f"gconv{i}_bias", zinit, (c_in,)),
+        ]
+        p = [w.astype(self.dtype) for w in p]
+        if self.use_pallas:
+            return fused_gwnet_layer(
+                x, supports, *p, self.order, self.pallas_interpret
+            )
+        return forward_reference(x, supports, *p, order=self.order)
 
     @nn.compact
     def __call__(
@@ -150,40 +184,58 @@ class GraphWaveNet(nn.Module):
 
         skip = None
         dilation = 1
+        fused_path = self.kernel_size == 1 and all_supports is not None
         for i in range(self.blocks * self.layers):
             if i % self.layers == 0:
                 dilation = 1
             residual = x
-            # gated temporal conv (1×1 when kernel_size=1, the reference
-            # default — SURVEY §8.5)
-            conv_kw = dict(
-                features=self.dilation_channels,
-                kernel_size=(self.kernel_size,),
-                kernel_dilation=(dilation,),
-                padding="VALID",
-                dtype=self.dtype,
-            )
-            filt = jnp.tanh(nn.Conv(**conv_kw, name=f"filter_conv{i}")(residual))
-            gate = nn.sigmoid(nn.Conv(**conv_kw, name=f"gate_conv{i}")(residual))
-            x = filt * gate
-            dilation *= 2
 
-            s = nn.Dense(self.skip_channels, dtype=self.dtype, name=f"skip_conv{i}")(x)
-            t_cur = s.shape[2]
-            skip = s if skip is None else s + skip[:, :, -t_cur:, :]
-
-            if all_supports is not None:
-                x = DiffusionGCN(
-                    self.residual_channels,
-                    order=self.order,
-                    dropout=self.dropout,
-                    dtype=self.dtype,
-                    name=f"gconv{i}",
-                )(x, all_supports, train)
+            if fused_path:
+                # Every op in the layer is channel-dim matmuls (the 1×1
+                # reference default, SURVEY §8.5) ⇒ one fused kernel:
+                # gated unit + skip projection + diffusion GCN
+                # (ops/gwnet_pallas.py), Pallas on TPU, jnp elsewhere.
+                x, s = self._fused_layer(i, residual, all_supports)
+                t_cur = s.shape[2]
+                skip = s if skip is None else s + skip[:, :, -t_cur:, :]
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
             else:
-                x = nn.Dense(
-                    self.residual_channels, dtype=self.dtype, name=f"residual_conv{i}"
+                conv_kw = dict(
+                    features=self.dilation_channels,
+                    kernel_size=(self.kernel_size,),
+                    kernel_dilation=(dilation,),
+                    padding="VALID",
+                    dtype=self.dtype,
+                )
+                filt = jnp.tanh(
+                    nn.Conv(**conv_kw, name=f"filter_conv{i}")(residual)
+                )
+                gate = nn.sigmoid(
+                    nn.Conv(**conv_kw, name=f"gate_conv{i}")(residual)
+                )
+                x = filt * gate
+
+                s = nn.Dense(
+                    self.skip_channels, dtype=self.dtype, name=f"skip_conv{i}"
                 )(x)
+                t_cur = s.shape[2]
+                skip = s if skip is None else s + skip[:, :, -t_cur:, :]
+
+                if all_supports is not None:
+                    x = DiffusionGCN(
+                        self.residual_channels,
+                        order=self.order,
+                        dropout=self.dropout,
+                        dtype=self.dtype,
+                        name=f"gconv{i}",
+                    )(x, all_supports, train)
+                else:
+                    x = nn.Dense(
+                        self.residual_channels,
+                        dtype=self.dtype,
+                        name=f"residual_conv{i}",
+                    )(x)
+            dilation *= 2
 
             x = x + residual[:, :, -x.shape[2] :, :]
             x = GroupedBatchNorm(

@@ -77,8 +77,31 @@ def prepare_datasets(
     return ds, train_idx, val_idx, test_ds
 
 
-def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int):
-    # re-map positions through the split's index array
+def make_pipeline(cfg: Config, store):
+    """Choose the input path: HBM-resident device gather when the store
+    fits the budget (the TPU-native default), host prefetch otherwise."""
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    if cfg.data.pipeline == "host":
+        return None
+    size_mb = store.frames.size * store.frames.dtype.itemsize / 1e6
+    if cfg.data.pipeline == "device" or size_mb <= cfg.data.device_store_budget_mb:
+        return DevicePipeline(
+            store, cfg.data.mean, cfg.data.std, cfg.data.image_size
+        )
+    return None
+
+
+def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None):
+    if device_pipe is not None:
+
+        def dev_gen():
+            for b in batch_indices(len(idx), cfg.train.batch_size, shuffle, seed):
+                yield device_pipe.batch(ds, idx[b])
+
+        return dev_gen()
+
+    # host path: memmap gather in a background thread + H2D prefetch
     def remapped():
         for b in batch_indices(len(idx), cfg.train.batch_size, shuffle, seed):
             yield ds.gather_batch(idx[b])
@@ -93,13 +116,29 @@ def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int):
 
 
 def evaluate(
-    eval_step, state: TrainState, ds, idx, cfg: Config, supports
+    eval_step, state: TrainState, ds, idx, cfg: Config, supports,
+    device_pipe=None,
 ) -> Dict[str, float]:
     """Mean of per-batch metrics (reference lit.py:100-106 reduction)."""
     agg = M.MeanAggregator()
-    for batch in _epoch_iter(ds, idx, cfg, shuffle=False, seed=0):
+    for batch in _epoch_iter(ds, idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe):
         agg.update(eval_step(state.params, state.batch_stats, batch, supports))
     return agg.compute()
+
+
+def _sample_batch(cfg: Config, ds, device_pipe):
+    """One batch for model/optimizer init (shapes only)."""
+    if device_pipe is not None:
+        return device_pipe.batch(ds, np.array([0]))
+    from multimodal_outage_tpu.data.pipeline import preprocess_batch
+
+    sample = ds.gather_batch(np.array([0]))
+    return preprocess_batch(
+        jax.device_put(sample),
+        jnp.float32(cfg.data.mean),
+        jnp.float32(cfg.data.std),
+        cfg.data.image_size,
+    )
 
 
 def fit(
@@ -125,20 +164,16 @@ def fit(
         )
     supports = build_supports(cfg, ds.store.n_counties)
     model = build_model(cfg.model, cfg.data.horizon)
+    device_pipe = make_pipeline(cfg, ds.store)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
-    sample = ds.gather_batch(np.array([0]))
-    from multimodal_outage_tpu.data.pipeline import preprocess_batch
-
-    sample_dev = preprocess_batch(
-        jax.device_put(sample),
-        jnp.float32(cfg.data.mean),
-        jnp.float32(cfg.data.std),
-        cfg.data.image_size,
-    )
+    sample_dev = _sample_batch(cfg, ds, device_pipe)
     state = create_train_state(model, rng, sample_dev, supports)
     if progress:
         print(f"Model parameters: {param_count(state.params):,}")
+
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     train_step = make_train_step(model, donate=cfg.train.donate_buffers)
     eval_step = make_eval_step(model)
@@ -147,18 +182,66 @@ def fit(
     best_epoch = -1
     epochs_without_improvement = 0
     step_count = 0
+    start_epoch = 0
 
-    for epoch in range(cfg.train.epochs):
+    def ckpt_tree(st, epoch, bv, be, bad):
+        return {
+            "params": st.params,
+            "batch_stats": st.batch_stats,
+            "opt_state": st.opt_state,
+            "step": st.step,
+            "meta": {
+                "epoch": jnp.int32(epoch),
+                "best_val": jnp.float32(bv),
+                "best_epoch": jnp.int32(be),
+                "bad_epochs": jnp.int32(bad),
+            },
+        }
+
+    template = ckpt_tree(state, 0, jnp.inf, -1, 0)
+
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        restored = ckpt.restore(step=ckpt.latest_step(), template=template)
+        state = TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        meta = restored["meta"]
+        start_epoch = int(meta["epoch"]) + 1
+        best_val = float(meta["best_val"])
+        best_epoch = int(meta["best_epoch"])
+        epochs_without_improvement = int(meta["bad_epochs"])
+        if progress:
+            print(f"Resumed from epoch {start_epoch - 1} (best_val={best_val:.5f})")
+
+    profiling = False
+    for epoch in range(start_epoch, cfg.train.epochs):
         lr = cosine_annealing_lr(epoch, cfg.train.lr, cfg.train.cosine_t_max)
         t0 = time.time()
         train_agg = M.MeanAggregator()
         for batch in _epoch_iter(
-            ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch
+            ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch,
+            device_pipe=device_pipe,
         ):
+            if (
+                cfg.train.profile_dir
+                and not profiling
+                and step_count == cfg.train.log_every  # skip compile steps
+            ):
+                jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
+                profile_stop = step_count + cfg.train.profile_steps
             state, step_metrics = train_step(
                 state, batch, supports, jnp.float32(lr), rng
             )
             step_count += 1
+            if profiling and step_count >= profile_stop:
+                jax.block_until_ready(step_metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_stop = None
             if step_count % cfg.train.log_every == 0:
                 host_metrics = {k: float(v) for k, v in step_metrics.items()}
                 logger.log(
@@ -174,7 +257,9 @@ def fit(
             train_agg.update(step_metrics)
         train_metrics = train_agg.compute()
 
-        val_metrics = evaluate(eval_step, state, ds, val_idx, cfg, supports)
+        val_metrics = evaluate(
+            eval_step, state, ds, val_idx, cfg, supports, device_pipe
+        )
         dt = time.time() - t0
         logger.log(
             {
@@ -190,48 +275,43 @@ def fit(
                 f"val_loss={val_metrics['loss']:.5f} ({dt:.1f}s, lr={lr:.2e})"
             )
 
-        ckpt.save(
-            epoch,
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            },
-            metrics={"val_loss": val_metrics["loss"]},
-        )
-
         if val_metrics["loss"] < best_val:
             best_val = val_metrics["loss"]
             best_epoch = epoch
             epochs_without_improvement = 0
         else:
             epochs_without_improvement += 1
-            if epochs_without_improvement >= cfg.train.early_stop_patience:
-                if progress:
-                    print(f"Early stopping at epoch {epoch}")
-                break
+
+        ckpt.save(
+            epoch,
+            ckpt_tree(
+                state, epoch, best_val, best_epoch, epochs_without_improvement
+            ),
+            metrics={"val_loss": val_metrics["loss"]},
+        )
+
+        if epochs_without_improvement >= cfg.train.early_stop_patience:
+            if progress:
+                print(f"Early stopping at epoch {epoch}")
+            break
 
     # End-of-fit: reload the best checkpoint and sweep val + held-out test
     # (reference PrintMetricsCallback / TestBestModelCallback,
     # lit.py:74-140).
-    restored = ckpt.restore(
-        template={
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-    )
+    restored = ckpt.restore(template=template)
     best_state = TrainState(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
-    final_val = evaluate(eval_step, best_state, ds, val_idx, cfg, supports)
+    final_val = evaluate(
+        eval_step, best_state, ds, val_idx, cfg, supports, device_pipe
+    )
     test_all = np.arange(len(test_ds))
-    final_test = evaluate(eval_step, best_state, test_ds, test_all, cfg, supports)
+    final_test = evaluate(
+        eval_step, best_state, test_ds, test_all, cfg, supports, device_pipe
+    )
     results = {
         "best_epoch": best_epoch,
         **{f"val_{k}": v for k, v in final_val.items()},
@@ -272,15 +352,8 @@ def predict(
     model = build_model(cfg.model, cfg.data.horizon)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
-    sample = test_ds.gather_batch(np.array([0]))
-    from multimodal_outage_tpu.data.pipeline import preprocess_batch
-
-    sample_dev = preprocess_batch(
-        jax.device_put(sample),
-        jnp.float32(cfg.data.mean),
-        jnp.float32(cfg.data.std),
-        cfg.data.image_size,
-    )
+    device_pipe = make_pipeline(cfg, store)
+    sample_dev = _sample_batch(cfg, test_ds, device_pipe)
     state = create_train_state(model, rng, sample_dev, supports)
     ckpt = CheckpointManager(checkpoint_dir)
     restored = ckpt.restore(
@@ -290,6 +363,12 @@ def predict(
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
+            "meta": {
+                "epoch": jnp.int32(0),
+                "best_val": jnp.float32(0),
+                "best_epoch": jnp.int32(0),
+                "bad_epochs": jnp.int32(0),
+            },
         },
     )
     predict_step = make_predict_step(model)
@@ -298,7 +377,9 @@ def predict(
     agg = M.MeanAggregator()
     preds, targets = [], []
     all_idx = np.arange(len(test_ds))
-    for batch in _epoch_iter(test_ds, all_idx, cfg, shuffle=False, seed=0):
+    for batch in _epoch_iter(
+        test_ds, all_idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe
+    ):
         yhat = predict_step(
             restored["params"], restored["batch_stats"], batch, supports
         )

@@ -1,0 +1,74 @@
+"""Acquisition/ingest module: date math, filename parsing, offline ingest."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from multimodal_outage_tpu.data import acquisition as acq
+from multimodal_outage_tpu.data.store import load_store
+
+
+def test_bearer_token_from_env(monkeypatch):
+    monkeypatch.delenv("NASA_BEARER_TOKEN", raising=False)
+    with pytest.raises(RuntimeError, match="NASA_BEARER_TOKEN"):
+        acq.get_bearer_token()
+    monkeypatch.setenv("NASA_BEARER_TOKEN", "tok123")
+    assert acq.get_bearer_token() == "tok123"
+
+
+def test_hurricane_date_ranges():
+    r = acq.hurricane_date_ranges(margin_days=90)
+    start, end = r["ian"]
+    assert start == datetime.date(2022, 6, 28)
+    assert end == datetime.date(2022, 12, 25)
+
+
+def test_parse_date_filename():
+    assert acq.parse_date_filename("2022_9_28.npy") == datetime.date(2022, 9, 28)
+    assert acq.parse_date_filename("2022_09_28.pickle") == datetime.date(
+        2022, 9, 28
+    )
+    assert acq.parse_date_filename("notes.txt") is None
+
+
+def test_find_missing_and_common_dates():
+    d = datetime.date
+    avail = [d(2022, 1, 1), d(2022, 1, 3)]
+    missing = acq.find_missing_dates(avail, d(2022, 1, 1), d(2022, 1, 4))
+    assert missing == [d(2022, 1, 2), d(2022, 1, 4)]
+    common = acq.common_dates(
+        {"a": [d(2022, 1, 1), d(2022, 1, 2)], "b": [d(2022, 1, 2)]}
+    )
+    assert common == [d(2022, 1, 2)]
+
+
+def test_ingest_directory_roundtrip(tmp_path):
+    raw = tmp_path / "raw"
+    rng = np.random.default_rng(0)
+    dates = ["2022_9_25", "2022_9_26", "2022_9_27"]
+    for county in ("alpha", "beta"):
+        cdir = raw / county
+        cdir.mkdir(parents=True)
+        for ds in dates:
+            np.save(cdir / f"{ds}.npy", rng.normal(size=(20, 24)).astype(np.float32))
+    # beta has an extra date not shared → must be dropped
+    np.save(raw / "beta" / "2022_9_28.npy", np.zeros((20, 24), np.float32))
+
+    out = tmp_path / "packed"
+    frames, date_arr = acq.ingest_directory(str(raw), str(out), image_size=16)
+    assert frames.shape == (3, 2, 16, 16)
+    np.testing.assert_array_equal(
+        date_arr, [[2022, 9, 25], [2022, 9, 26], [2022, 9, 27]]
+    )
+    store = load_store(str(out))
+    assert store.county_names == ["alpha", "beta"]
+    assert store.frames.shape == (3, 2, 16, 16)
+
+
+def test_ingest_empty_raises(tmp_path):
+    raw = tmp_path / "raw"
+    (raw / "a").mkdir(parents=True)
+    (raw / "b").mkdir()
+    with pytest.raises(ValueError, match="no common dates"):
+        acq.ingest_directory(str(raw), str(tmp_path / "out"))

@@ -54,6 +54,33 @@ def test_prefetch_iterator_yields_all():
         assert o["x"].shape == (2, 4, 3, 16, 16, 1)
 
 
+def test_device_pipeline_matches_host_path(tiny_store):
+    """HBM-resident gather produces the same batches as the host path."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    ds = WindowDataset.from_case_study(
+        tiny_store, HURRICANES, dataset_range=5, horizon=2
+    )
+    mean, std = 2.0, 3.0
+    pipe = DevicePipeline(tiny_store, mean, std, tiny_store.image_size)
+    idx = np.array([0, 2])
+    dev = pipe.batch(ds, idx)
+
+    host = ds.gather_batch(idx)
+    host_dev = preprocess_batch(
+        jax.device_put(host),
+        jnp.float32(mean),
+        jnp.float32(std),
+        tiny_store.image_size,
+    )
+    for k in ("x", "y", "date_feats"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k]), np.asarray(host_dev[k]), atol=1e-6
+        )
+
+
 def test_prefetch_iterator_propagates_errors():
     def gen():
         yield _host_batch()

@@ -76,6 +76,42 @@ def test_fit_end_to_end(tiny_cfg, tmp_path):
     assert np.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
+def test_resume_continues_from_checkpoint(tiny_cfg, tmp_path):
+    """Fault injection (SURVEY §5): train 1 epoch, 'crash', resume with
+    epochs=2 — the resumed run continues from the checkpoint instead of
+    restarting, and early-stopping state survives."""
+    from multimodal_outage_tpu.train.loop import fit
+
+    base = tiny_cfg.replace(
+        train=dataclasses.replace(
+            tiny_cfg.train,
+            epochs=1,
+            batch_size=2,
+            checkpoint_dir=str(tmp_path / "logs"),
+            job_id="resume_t",
+        )
+    )
+    fit(base, test_case="michael", progress=False)
+    run_dir = os.path.join(base.train.checkpoint_dir, "resume_t")
+    lines1 = [
+        json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))
+    ]
+    epochs1 = {l["epoch"] for l in lines1 if l["phase"] == "val"}
+    assert epochs1 == {0}
+
+    resumed = base.replace(
+        train=dataclasses.replace(base.train, epochs=2, resume=True)
+    )
+    fit(resumed, test_case="michael", progress=False)
+    lines2 = [
+        json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))
+    ]
+    epochs2 = [l["epoch"] for l in lines2 if l["phase"] == "val"]
+    # epoch 0 ran once (before the crash), epoch 1 only in the resumed run
+    assert epochs2 == [0, 1]
+
+
 def test_train_step_updates_params(tiny_cfg):
     from multimodal_outage_tpu.models.fusion import build_model
     from multimodal_outage_tpu.train.state import create_train_state
