@@ -258,8 +258,43 @@ def bench_e2e_train(steps=20) -> Dict:
         }
 
 
+def bench_fusion_inference(steps=50) -> Dict:
+    """Serving-path latency: full fusion-model forward (B=1, 67 counties,
+    horizon 7, 128² tiles) — p50 ms on one chip."""
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    t = 7
+    model = build_model(model_cfg, horizon=t)
+    batch = _device_batch(1, 67, t, 128)
+    supports = jnp.eye(67)[None]
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["x"], batch["date_feats"], supports, train=False,
+    )
+
+    @jax.jit
+    def fwd(v, x, feats, sup):
+        return model.apply(v, x, feats, sup, train=False)
+
+    def run():
+        jax.block_until_ready(
+            fwd(variables, batch["x"], batch["date_feats"], supports)
+        )
+
+    times = _time_steps(run, steps)
+    p50 = statistics.median(times) * 1e3
+    return {
+        "metric": "fusion_inference_p50_latency",
+        "value": round(p50, 3),
+        "unit": "ms (B=1, 67 counties, horizon 7)",
+        "vs_baseline": None,
+        "detail": {"p90_ms": round(sorted(times)[int(0.9 * len(times))] * 1e3, 3)},
+    }
+
+
 _BENCHMARKS = {
     "e2e_train": bench_e2e_train,
+    "fusion_inference": bench_fusion_inference,
     "unet_train": bench_unet_train,
     "unet_cpu_b4": bench_unet_cpu_b4,
     "gwnet_forecast": bench_gwnet_forecast,

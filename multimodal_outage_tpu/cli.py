@@ -96,6 +96,10 @@ def main(argv=None) -> int:
     p_eval.add_argument("--case", type=str, default="idalia")
     p_eval.add_argument("--save_preds", type=str, default=None)
     p_eval.add_argument("--risk_maps", type=str, default=None)
+    p_eval.add_argument(
+        "--metrics_json", type=str, default=None,
+        help="Write the test metrics to this JSON file",
+    )
 
     p_stats = sub.add_parser("stats", help="Dataset mean/std")
     p_stats.add_argument("--data_dir", type=str, default="data/synthetic")
@@ -181,6 +185,12 @@ def main(argv=None) -> int:
             f"Test Loss: {metrics['loss']}\nTest MAE: {metrics['mae']}\n"
             f"Test MAPE: {metrics['mape']}\nTest RMSE: {metrics['rmse']}"
         )
+        if args.metrics_json:
+            os.makedirs(
+                os.path.dirname(args.metrics_json) or ".", exist_ok=True
+            )
+            with open(args.metrics_json, "w") as f:
+                json.dump(metrics, f, indent=2)
         if args.save_preds:
             os.makedirs(args.save_preds, exist_ok=True)
             import numpy as np

@@ -58,6 +58,9 @@ class GWNetConfig:
     # identity (reference models/graph_wavenet.py:23-24); "doubletransition"
     # here gives the true [asym_adj(A), asym_adj(Aᵀ)] pair.
     use_pallas: bool = True  # fused gated-TCN + diffusion kernel on TPU
+    # Reproduce the reference's raw .view() axis-scramble at the gwnet
+    # boundary (models/graph_wavenet.py:189,255) for parity testing only:
+    reference_view_quirk: bool = False
 
 
 @dataclass(frozen=True)
@@ -116,10 +119,12 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh axes. data: batch-dim DP; model: bottleneck-hidden TP."""
+    """Device-mesh axes. data: batch DP; model: bottleneck-hidden TP;
+    time: temporal-window sequence parallelism."""
 
     data: int = -1  # -1 ⇒ all remaining devices
     model: int = 1
+    time: int = 1
 
 
 @dataclass(frozen=True)

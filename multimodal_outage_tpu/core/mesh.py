@@ -17,19 +17,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+TIME_AXIS = "time"
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = -1, model: int = 1, time: int = 1, devices=None) -> Mesh:
+    """3-axis mesh: data (batch DP) × model (bottleneck TP) × time (SP).
+
+    The time axis shards the temporal window T — the framework's sequence
+    parallelism (SURVEY §5 "long-context"): U-Net and the kernel_size=1
+    Graph WaveNet treat T pointwise, so sharding T is communication-free
+    except the BN (N, T) reductions, which GSPMD turns into psums over ICI.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        if n % (model * time) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*time={model * time}"
+            )
+        data = n // (model * time)
+    if data * model * time > n:
+        raise ValueError(
+            f"mesh {data}x{model}x{time} needs {data * model * time} devices, "
+            f"have {n}"
+        )
+    dev_array = np.asarray(devices[: data * model * time]).reshape(
+        data, model, time
+    )
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, TIME_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -40,6 +40,7 @@ def _build_gwnet(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
     use_pallas = g.use_pallas and jax.default_backend() == "tpu"
     return GraphWaveNet(
         use_pallas=use_pallas,
+        reference_view_quirk=g.reference_view_quirk,
         out_dim=cfg.feature_vector_size,
         residual_channels=g.residual_channels,
         dilation_channels=g.dilation_channels,

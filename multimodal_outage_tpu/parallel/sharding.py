@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 from multimodal_outage_tpu.train.state import TrainState, make_optimizer
 
 # (module, param-name) → PartitionSpec, matched against the tail of the
@@ -75,11 +75,21 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
     return jax.tree_util.tree_map_with_path(to_sharding, state)
 
 
+def _batch_pspec(name: str) -> P:
+    """Batch dim over data; temporal dim over time (sequence parallelism).
+
+    x/y are [B, N, T, H, W, C] (T at axis 2); date_feats is [B, T, 6]."""
+    if name in ("x", "y"):
+        return P(DATA_AXIS, None, TIME_AXIS)
+    if name == "date_feats":
+        return P(DATA_AXIS, TIME_AXIS)
+    return P(DATA_AXIS)
+
+
 def batch_shardings(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
-    """Leading (batch) dim over the data axis."""
-    return {
-        k: NamedSharding(mesh, P(DATA_AXIS)) for k in batch
-    }
+    if TIME_AXIS not in mesh.shape:
+        return {k: NamedSharding(mesh, P(DATA_AXIS)) for k in batch}
+    return {k: NamedSharding(mesh, _batch_pspec(k)) for k in batch}
 
 
 def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
@@ -136,12 +146,9 @@ def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
 
     st_shard = state_shardings(mesh, state)
     repl = NamedSharding(mesh, P())
-    data_shard = NamedSharding(mesh, P(DATA_AXIS))
-    batch_shard = {
-        "x": data_shard,
-        "y": data_shard,
-        "date_feats": data_shard,
-    }
+    batch_shard = batch_shardings(
+        mesh, {"x": None, "y": None, "date_feats": None}
+    )
     metric_shard = {k: repl for k in ("loss", "mae", "mape", "rmse")}
     return jax.jit(
         train_step,

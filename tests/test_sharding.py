@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from multimodal_outage_tpu.core.config import ModelConfig
-from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from multimodal_outage_tpu.core.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    TIME_AXIS,
+    make_mesh,
+)
 from multimodal_outage_tpu.models.fusion import build_model
 from multimodal_outage_tpu.parallel.sharding import (
     make_sharded_train_step,
@@ -40,9 +45,11 @@ def _setup(mesh, b):
 
 def test_mesh_construction():
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2, TIME_AXIS: 1}
     mesh = make_mesh(data=-1, model=2)
     assert mesh.shape[DATA_AXIS] == jax.device_count() // 2
+    mesh = make_mesh(data=2, model=2, time=2)
+    assert mesh.shape == {DATA_AXIS: 2, MODEL_AXIS: 2, TIME_AXIS: 2}
 
 
 def test_tp_rules_shard_bottleneck_mlps():
@@ -58,9 +65,9 @@ def test_tp_rules_shard_bottleneck_mlps():
     assert conv == jax.sharding.PartitionSpec()
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
-def test_sharded_step_runs(dp, tp):
-    mesh = make_mesh(data=dp, model=tp)
+@pytest.mark.parametrize("dp,tp,sp", [(8, 1, 1), (4, 2, 1), (2, 2, 2)])
+def test_sharded_step_runs(dp, tp, sp):
+    mesh = make_mesh(data=dp, model=tp, time=sp)
     model, state, batch, supports = _setup(mesh, b=dp)
     state = shard_state(mesh, state)
     batch = shard_batch(mesh, batch)
