@@ -4,8 +4,13 @@ The reference publishes no numbers (BASELINE.md); this suite establishes
 them for the five BASELINE.json configs plus the flagship headline metric:
 128×128 tiles/sec/chip for fusion-model training (north star ≥5k on v5p).
 
-Timing discipline: jit-compile first, block_until_ready-bracketed steps,
-median over repeats.
+Timing discipline — IMPORTANT: on tunneled TPU backends
+`block_until_ready` can return before device execution completes, making
+naive per-step timing wildly optimistic. Every measurement here therefore
+brackets K in-order device dispatches between host *fetches* of a scalar
+that depends on the last dispatch (TPU streams execute in order, so the
+fetch completing proves all K executed). Reported value = wall / K,
+median over windows.
 """
 
 from __future__ import annotations
@@ -18,10 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_outage_tpu.core.config import Config, DataConfig, ModelConfig
+from multimodal_outage_tpu.core.config import ModelConfig
 from multimodal_outage_tpu.models.fusion import build_model
 from multimodal_outage_tpu.train.state import create_train_state
-from multimodal_outage_tpu.train.steps import make_eval_step, make_train_step
+from multimodal_outage_tpu.train.steps import make_train_step
 
 NORTH_STAR_TILES_PER_SEC = 5000.0  # BASELINE.json:5 target
 
@@ -38,19 +43,28 @@ def _device_batch(b, n, t, s, c=1, seed=0):
     }
 
 
-def _time_steps(fn: Callable[[], None], steps: int, warmup: int = 3):
-    for _ in range(warmup):
-        fn()
-    times = []
-    for _ in range(steps):
+def _fetch(x) -> float:
+    """True device sync: pull a scalar element to the host."""
+    return float(jnp.ravel(x)[0])
+
+
+def _timed_window(step_fn: Callable[[], object], k: int, windows: int = 3):
+    """Median seconds-per-dispatch over `windows` runs of k chained
+    dispatches, each window closed by a host fetch on the last result."""
+    out = step_fn()  # compile + warm
+    _fetch(out)
+    per = []
+    for _ in range(windows):
         t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return times
+        for _ in range(k):
+            out = step_fn()
+        _fetch(out)
+        per.append((time.perf_counter() - t0) / k)
+    return statistics.median(per)
 
 
 def _train_throughput(
-    b=4, n=67, t=7, s=128, c=1, steps=20, dtype="bfloat16", st_gnn="gwnet"
+    b=4, n=67, t=7, s=128, c=1, steps=15, dtype="bfloat16", st_gnn="gwnet"
 ) -> Dict:
     model_cfg = ModelConfig(
         st_gnn=st_gnn, input_channels=c, output_channels=c, compute_dtype=dtype
@@ -63,25 +77,25 @@ def _train_throughput(
     step = make_train_step(model, donate=False)
     lr = jnp.float32(1e-3)
 
-    def run():
-        nonlocal state
-        state, m = step(state, batch, supports, lr, rng)
-        jax.block_until_ready(m["loss"])
+    holder = {"state": state}
 
-    times = _time_steps(run, steps)
-    med = statistics.median(times)
+    def run():
+        holder["state"], m = step(holder["state"], batch, supports, lr, rng)
+        return m["loss"]
+
+    sec = _timed_window(run, steps)
     tiles = b * n * t
     return {
-        "step_seconds_median": med,
+        "step_seconds": sec,
         "tiles_per_step": tiles,
-        "tiles_per_sec": tiles / med,
+        "tiles_per_sec": tiles / sec,
         "batch": b,
         "image_size": s,
     }
 
 
-def bench_unet_train(steps=20) -> Dict:
-    """Flagship: fusion-model training throughput, 128×128 tiles/sec/chip."""
+def bench_unet_train(steps=15) -> Dict:
+    """Fusion-model train step throughput (data pre-staged on device)."""
     r = _train_throughput(steps=steps)
     return {
         "metric": "unet_train_tiles_per_sec_per_chip",
@@ -90,6 +104,62 @@ def bench_unet_train(steps=20) -> Dict:
         "vs_baseline": round(r["tiles_per_sec"] / NORTH_STAR_TILES_PER_SEC, 3),
         "detail": r,
     }
+
+
+def bench_e2e_train(steps=15) -> Dict:
+    """End-to-end training throughput INCLUDING the input pipeline: a
+    synthetic packed store held HBM-resident, per-step device window
+    gather + normalize + train step (the framework's real training path)."""
+    import tempfile
+
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+    from multimodal_outage_tpu.data.synthetic import generate_store
+
+    b, t, s = 4, 7, 128
+    with tempfile.TemporaryDirectory() as tmp:
+        generate_store(tmp, n_counties=67, image_size=s, margin=20, seed=0)
+        store = load_store(tmp)
+        ds = WindowDataset.from_case_study(
+            store, HURRICANES, dataset_range=15, horizon=t
+        )
+        pipe = DevicePipeline(store, 3.2, 10.4, s)
+        n = store.n_counties
+
+        model_cfg = ModelConfig(compute_dtype="bfloat16")
+        model = build_model(model_cfg, horizon=t)
+        supports = jnp.eye(n)[None]
+        rng = jax.random.PRNGKey(0)
+        batch0 = pipe.batch(ds, np.arange(b))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+        lr = jnp.float32(1e-3)
+        n_samples = len(ds)
+        holder = {"state": state, "i": 0}
+
+        def run():
+            batch = pipe.batch(
+                ds, (np.arange(b) + holder["i"]) % (n_samples - b)
+            )
+            holder["i"] += 1
+            holder["state"], m = step(
+                holder["state"], batch, supports, lr, rng
+            )
+            return m["loss"]
+
+        sec = _timed_window(run, steps)
+        tiles = b * n * t
+        return {
+            "metric": "e2e_train_tiles_per_sec_per_chip",
+            "value": round(tiles / sec, 1),
+            "unit": "tiles/sec/chip (incl. input pipeline)",
+            "vs_baseline": round(
+                tiles / sec / NORTH_STAR_TILES_PER_SEC, 3
+            ),
+            "detail": {"step_seconds": sec, "tiles_per_step": tiles},
+        }
 
 
 def bench_unet_cpu_b4(steps=10) -> Dict:
@@ -104,37 +174,103 @@ def bench_unet_cpu_b4(steps=10) -> Dict:
     }
 
 
-def bench_gwnet_forecast(steps=50) -> Dict:
+def bench_gwnet_forecast(steps=30) -> Dict:
     """BASELINE config 2: Graph WaveNet 12-step forecast on the 67-node
-    county graph — p50 forward latency."""
+    county graph — amortized forward latency (Pallas vs XLA A/B)."""
     from multimodal_outage_tpu.models.gwnet import GraphWaveNet
 
     n, t, c_in = 67, 12, 320
-    m = GraphWaveNet(out_dim=256)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, n, t, c_in))
     sup = jnp.eye(n)[None]
-    variables = m.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-        x, sup, train=False,
+    results = {}
+    for pallas in (False, True) if jax.default_backend() == "tpu" else (False,):
+        m = GraphWaveNet(out_dim=256, use_pallas=pallas)
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            x, sup, train=False,
+        )
+
+        fwd = jax.jit(lambda v, x, s: m.apply(v, x, s, train=False))
+        sec = _timed_window(lambda: fwd(variables, x, sup), steps)
+        results["pallas" if pallas else "xla"] = sec * 1e3
+    best = min(results.values())
+    return {
+        "metric": "gwnet_12step_forecast_latency",
+        "value": round(best, 3),
+        "unit": "ms (amortized)",
+        "vs_baseline": None,
+        "detail": {k: round(v, 3) for k, v in results.items()},
+    }
+
+
+def bench_fusion_inference(steps=20) -> Dict:
+    """Full fusion forward latency, B=1, 67 counties, horizon 7."""
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    t = 7
+    model = build_model(model_cfg, horizon=t)
+    batch = _device_batch(1, 67, t, 128)
+    supports = jnp.eye(67)[None]
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["x"], batch["date_feats"], supports, train=False,
     )
 
-    # NB: supports passed as an argument — embedded jit constants take a
-    # pathological slow path on the tunneled TPU backend.
-    @jax.jit
-    def fwd(v, x, sup):
-        return m.apply(v, x, sup, train=False)
-
-    def run():
-        jax.block_until_ready(fwd(variables, x, sup))
-
-    times = _time_steps(run, steps)
-    p50 = statistics.median(times) * 1e3
+    fwd = jax.jit(lambda v, x, f, s: model.apply(v, x, f, s, train=False))
+    sec = _timed_window(
+        lambda: fwd(variables, batch["x"], batch["date_feats"], supports),
+        steps,
+    )
     return {
-        "metric": "gwnet_12step_forecast_p50_latency",
-        "value": round(p50, 3),
-        "unit": "ms",
+        "metric": "fusion_inference_latency",
+        "value": round(sec * 1e3, 3),
+        "unit": "ms (amortized, B=1, 67 counties, horizon 7)",
         "vs_baseline": None,
-        "detail": {"n_nodes": n, "horizon": t},
+        "detail": {},
+    }
+
+
+def bench_serving(steps=20) -> Dict:
+    """ServingModel (BN-folded, dropout-elided engine) vs the plain flax
+    eval forward; plus batch-16 serving throughput."""
+    from multimodal_outage_tpu.serving import ServingModel
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    t = 7
+    model = build_model(model_cfg, horizon=t)
+    batch = _device_batch(1, 67, t, 128)
+    supports = jnp.eye(67)[None]
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["x"], batch["date_feats"], supports, train=False,
+    )
+
+    flax_fwd = jax.jit(lambda v, x, f, s: model.apply(v, x, f, s, train=False))
+    sec_flax = _timed_window(
+        lambda: flax_fwd(variables, batch["x"], batch["date_feats"], supports),
+        steps,
+    )
+
+    serve = ServingModel(model_cfg, variables, supports)
+    sec_serve = _timed_window(
+        lambda: serve(batch["x"], batch["date_feats"]), steps
+    )
+
+    big = _device_batch(16, 67, t, 128)
+    sec_big = _timed_window(
+        lambda: serve(big["x"], big["date_feats"]), max(steps // 3, 5)
+    )
+    return {
+        "metric": "serving_engine_latency",
+        "value": round(sec_serve * 1e3, 3),
+        "unit": "ms (amortized, B=1, 67 counties, horizon 7)",
+        "vs_baseline": None,
+        "detail": {
+            "flax_eval_ms": round(sec_flax * 1e3, 3),
+            "speedup_vs_flax": round(sec_flax / sec_serve, 3),
+            "b16_throughput_tiles_per_sec": round(16 * 67 * t / sec_big, 0),
+        },
     }
 
 
@@ -187,115 +323,28 @@ def bench_sharded_pipeline(steps=10) -> Dict:
     batch = shard_batch(mesh, batch)
     step = make_sharded_train_step(model, mesh, state, donate=False)
     lr = jnp.float32(1e-3)
+    holder = {"state": state}
 
     def run():
-        nonlocal state
-        state, m = step(state, batch, supports, lr, rng)
-        jax.block_until_ready(m["loss"])
+        holder["state"], m = step(holder["state"], batch, supports, lr, rng)
+        return m["loss"]
 
-    times = _time_steps(run, steps)
-    med = statistics.median(times)
+    sec = _timed_window(run, steps)
     tiles = b * n * t
     return {
         "metric": "sharded_pipeline_tiles_per_sec",
-        "value": round(tiles / med, 1),
+        "value": round(tiles / sec, 1),
         "unit": f"tiles/sec ({n_dev} devices)",
         "vs_baseline": None,
         "detail": {"devices": n_dev, "batch": b},
     }
 
 
-def bench_e2e_train(steps=20) -> Dict:
-    """End-to-end training throughput INCLUDING the input pipeline: a
-    synthetic packed store held HBM-resident, per-step device window
-    gather + normalize + train step (the framework's real training path)."""
-    import tempfile
-
-    from multimodal_outage_tpu.core.registry import HURRICANES
-    from multimodal_outage_tpu.data.dataset import WindowDataset
-    from multimodal_outage_tpu.data.pipeline import DevicePipeline
-    from multimodal_outage_tpu.data.store import load_store
-    from multimodal_outage_tpu.data.synthetic import generate_store
-
-    b, t, s = 4, 7, 128
-    with tempfile.TemporaryDirectory() as tmp:
-        generate_store(tmp, n_counties=67, image_size=s, margin=20, seed=0)
-        store = load_store(tmp)
-        ds = WindowDataset.from_case_study(
-            store, HURRICANES, dataset_range=15, horizon=t
-        )
-        pipe = DevicePipeline(store, 3.2, 10.4, s)
-        n = store.n_counties
-
-        model_cfg = ModelConfig(compute_dtype="bfloat16")
-        model = build_model(model_cfg, horizon=t)
-        supports = jnp.eye(n)[None]
-        rng = jax.random.PRNGKey(0)
-        batch0 = pipe.batch(ds, np.arange(b))
-        state = create_train_state(model, rng, batch0, supports)
-        step = make_train_step(model, donate=False)
-        lr = jnp.float32(1e-3)
-        n_samples = len(ds)
-
-        i = 0
-
-        def run():
-            nonlocal state, i
-            batch = pipe.batch(ds, (np.arange(b) + i) % (n_samples - b))
-            i += 1
-            state, m = step(state, batch, supports, lr, rng)
-            jax.block_until_ready(m["loss"])
-
-        times = _time_steps(run, steps)
-        med = statistics.median(times)
-        tiles = b * n * t
-        return {
-            "metric": "e2e_train_tiles_per_sec_per_chip",
-            "value": round(tiles / med, 1),
-            "unit": "tiles/sec/chip (incl. input pipeline)",
-            "vs_baseline": round(tiles / med / NORTH_STAR_TILES_PER_SEC, 3),
-            "detail": {"step_seconds_median": med, "tiles_per_step": tiles},
-        }
-
-
-def bench_fusion_inference(steps=50) -> Dict:
-    """Serving-path latency: full fusion-model forward (B=1, 67 counties,
-    horizon 7, 128² tiles) — p50 ms on one chip."""
-    model_cfg = ModelConfig(compute_dtype="bfloat16")
-    t = 7
-    model = build_model(model_cfg, horizon=t)
-    batch = _device_batch(1, 67, t, 128)
-    supports = jnp.eye(67)[None]
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(
-        {"params": rng, "dropout": rng},
-        batch["x"], batch["date_feats"], supports, train=False,
-    )
-
-    @jax.jit
-    def fwd(v, x, feats, sup):
-        return model.apply(v, x, feats, sup, train=False)
-
-    def run():
-        jax.block_until_ready(
-            fwd(variables, batch["x"], batch["date_feats"], supports)
-        )
-
-    times = _time_steps(run, steps)
-    p50 = statistics.median(times) * 1e3
-    return {
-        "metric": "fusion_inference_p50_latency",
-        "value": round(p50, 3),
-        "unit": "ms (B=1, 67 counties, horizon 7)",
-        "vs_baseline": None,
-        "detail": {"p90_ms": round(sorted(times)[int(0.9 * len(times))] * 1e3, 3)},
-    }
-
-
 _BENCHMARKS = {
     "e2e_train": bench_e2e_train,
-    "fusion_inference": bench_fusion_inference,
     "unet_train": bench_unet_train,
+    "serving": bench_serving,
+    "fusion_inference": bench_fusion_inference,
     "unet_cpu_b4": bench_unet_cpu_b4,
     "gwnet_forecast": bench_gwnet_forecast,
     "fused_stack": bench_fused_stack,
@@ -304,7 +353,7 @@ _BENCHMARKS = {
 }
 
 
-def run_benchmark(name: str, steps: int = 20) -> Dict:
+def run_benchmark(name: str, steps: int = 15) -> Dict:
     if name not in _BENCHMARKS:
         raise ValueError(f"unknown benchmark {name!r}: {sorted(_BENCHMARKS)}")
     return _BENCHMARKS[name](steps=steps)

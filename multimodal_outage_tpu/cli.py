@@ -112,6 +112,18 @@ def main(argv=None) -> int:
     p_synth.add_argument("--margin", type=int, default=45)
     p_synth.add_argument("--seed", type=int, default=42)
 
+    p_serve = sub.add_parser(
+        "serve", help="Load a checkpoint into the optimized serving engine"
+    )
+    _add_common_model_flags(p_serve)
+    p_serve.add_argument("--checkpoint_path", type=str, required=True)
+    p_serve.add_argument("--case", type=str, default="michael")
+    p_serve.add_argument("--save_preds", type=str, default=None)
+    p_serve.add_argument(
+        "--latency_stats", action="store_true",
+        help="Also report per-batch p50/p90 forward latency",
+    )
+
     p_d2v = sub.add_parser(
         "pretrain-d2v", help="Pre-train a Date2Vec replacement checkpoint"
     )
@@ -210,6 +222,28 @@ def main(argv=None) -> int:
                 std=cfg.data.std,
             )
             print(f"Saved risk maps to {args.risk_maps}")
+        return 0
+
+    if args.command == "serve":
+        from multimodal_outage_tpu.train.loop import serve_eval
+
+        cfg = _build_config(args)
+        preds, metrics, latency = serve_eval(
+            cfg,
+            args.checkpoint_path,
+            test_case=args.case,
+            latency_stats=args.latency_stats,
+            collect_preds=args.save_preds is not None,
+        )
+        out = {"metrics": metrics}
+        if latency:
+            out["latency"] = latency
+        print(json.dumps(out))
+        if args.save_preds:
+            os.makedirs(args.save_preds, exist_ok=True)
+            import numpy as np
+
+            np.save(os.path.join(args.save_preds, "preds.npy"), preds)
         return 0
 
     if args.command == "pretrain-d2v":

@@ -57,7 +57,11 @@ class GWNetConfig:
     adjtype: str = "identity"  # reference's "doubletransition" degenerates to
     # identity (reference models/graph_wavenet.py:23-24); "doubletransition"
     # here gives the true [asym_adj(A), asym_adj(Aᵀ)] pair.
-    use_pallas: bool = True  # fused gated-TCN + diffusion kernel on TPU
+    # Fused gated-TCN + diffusion Pallas kernel. Default off: the honest
+    # (fetch-synced) A/B measures XLA's batched einsums faster at this
+    # model's sizes (BENCHMARKS.md); the kernel remains available and
+    # tested for larger graphs/batches where fusion wins.
+    use_pallas: bool = False
     # Reproduce the reference's raw .view() axis-scramble at the gwnet
     # boundary (models/graph_wavenet.py:189,255) for parity testing only:
     reference_view_quirk: bool = False

@@ -1,0 +1,197 @@
+"""Optimized inference engine (production serving path).
+
+Compiles a trained checkpoint into a lean eval-mode forward:
+  * BatchNorms are algebraically folded into per-channel scale/bias
+    applied inside the conv epilogues (fold_batchnorm);
+  * dropout is elided entirely (eval mode);
+  * weights are committed to device once (no per-call H2D);
+  * optional fused Pallas kernels for the DoubleConvs
+    (ops/unet_pallas.py) and the Graph WaveNet layers
+    (ops/gwnet_pallas.py) — both default off because honest A/Bs
+    measure XLA faster at this model's sizes (BENCHMARKS.md).
+
+Consumes the standard training variables pytree (params + batch_stats) —
+the serving path and the flax training model share weights bit-for-bit,
+and tests assert output equality against model.apply(train=False).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_outage_tpu.core.config import ModelConfig
+from multimodal_outage_tpu.models.gwnet import GraphWaveNet
+from multimodal_outage_tpu.ops.unet_pallas import (
+    fold_batchnorm,
+    forward_reference as double_conv_reference,
+    fused_double_conv,
+)
+
+
+def _folded_double_conv_args(p: Dict, bs: Dict):
+    s1, b1 = fold_batchnorm(
+        p["bn1"]["scale"], p["bn1"]["bias"], bs["bn1"]["mean"], bs["bn1"]["var"]
+    )
+    s2, b2 = fold_batchnorm(
+        p["bn2"]["scale"], p["bn2"]["bias"], bs["bn2"]["mean"], bs["bn2"]["var"]
+    )
+    return (
+        p["conv1"]["kernel"], s1, b1,
+        p["conv2"]["kernel"], s2, b2,
+    )
+
+
+def _max_pool_2x2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _dense(x, p):
+    return x @ p["kernel"] + p["bias"]
+
+
+class ServingModel:
+    """Jitted eval forward built from trained variables."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        variables: Dict[str, Any],
+        supports: Optional[jnp.ndarray],
+        use_pallas: bool = False,
+        interpret: bool = False,
+        gwnet_pallas: Optional[bool] = None,
+    ):
+        """Both fused Pallas kernels default OFF: honest (fetch-synced)
+        A/Bs measure XLA faster at this model's sizes (BENCHMARKS.md).
+        use_pallas toggles the fused DoubleConv kernel; gwnet_pallas the
+        fused gated-TCN+GCN kernel — both stay available and tested."""
+        import jax as _jax
+
+        self.cfg = cfg
+        # Commit weights to device once — checkpoint restores hand back
+        # host numpy arrays, which would otherwise re-transfer per call.
+        self.params = _jax.device_put(variables["params"])
+        self.batch_stats = _jax.device_put(variables.get("batch_stats", {}))
+        self.supports = (
+            _jax.device_put(supports) if supports is not None else None
+        )
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        if gwnet_pallas is None:
+            gwnet_pallas = interpret  # interpret-mode tests exercise it
+        self.gwnet_pallas = gwnet_pallas
+        g = cfg.gwnet
+        self._gwnet = GraphWaveNet(
+            out_dim=cfg.feature_vector_size,
+            residual_channels=g.residual_channels,
+            dilation_channels=g.dilation_channels,
+            skip_channels=g.skip_channels,
+            end_channels=g.end_channels,
+            kernel_size=g.kernel_size,
+            blocks=g.blocks,
+            layers=g.layers,
+            dropout=g.dropout,
+            order=g.order,
+            addaptadj=g.addaptadj,
+            node_embed_dim=g.node_embed_dim,
+            use_pallas=self.gwnet_pallas,
+            pallas_interpret=interpret,
+            dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        self._jitted = jax.jit(self._forward)
+
+    # Above this spatial size the kernel's lane-padded [H·W, 128] matmul
+    # operands overflow the 16 MB VMEM budget; XLA convs take over there.
+    _PALLAS_MAX_SPATIAL = 64
+
+    def _double_conv(self, x, p, bs):
+        """x: [M, H, W, Cin] folded image batch."""
+        args = _folded_double_conv_args(p, bs)
+        if self.use_pallas and x.shape[1] <= self._PALLAS_MAX_SPATIAL:
+            return fused_double_conv(x, *args, self.interpret)
+        return double_conv_reference(x, *args)
+
+    def _forward(self, params, batch_stats, x, date_feats, supports):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        b, n, t, hh, ww, c_in = x.shape
+        m = b * n * t
+        p, bs = params, batch_stats
+
+        # --- contraction ---------------------------------------------------
+        y = x.astype(dtype).reshape(m, hh, ww, c_in)
+        cp, cbs = p["contraction"], bs["contraction"]
+        y = self._double_conv(y, cp["inc"], cbs["inc"])
+        skips = [y]
+        for i in range(1, cfg.depth + 1):
+            y = _max_pool_2x2(y)
+            y = self._double_conv(
+                y, cp[f"down{i}"]["conv"], cbs[f"down{i}"]["conv"]
+            )
+            if i < cfg.depth:
+                skips.append(y)
+
+        # --- bottleneck encoder + time embedding ---------------------------
+        flat = y.reshape(b, n, t, -1)
+        z = jax.nn.relu(_dense(flat, p["encoder"]["fc1"]))
+        z = jax.nn.relu(_dense(z, p["encoder"]["fc2"]))
+
+        d2v = p["date2vec"]
+        te = jnp.concatenate(
+            [
+                _dense(date_feats.astype(dtype), d2v["fc1"]),
+                jnp.sin(_dense(date_feats.astype(dtype), d2v["fc2"])),
+            ],
+            axis=-1,
+        )
+        te = jnp.broadcast_to(te[:, None], (b, n, t, te.shape[-1]))
+        z = jnp.concatenate([z, te], axis=-1)
+
+        # --- st-GNN (module apply on its own subtree, eval mode) -----------
+        z = self._gwnet.apply(
+            {"params": p["st_gnn"], "batch_stats": bs["st_gnn"]},
+            z.astype(dtype),
+            supports,
+            train=False,
+        )
+
+        # --- bottleneck decoder --------------------------------------------
+        d = jax.nn.relu(_dense(z, p["decoder"]["fc1"]))
+        d = jax.nn.relu(_dense(d, p["decoder"]["fc2"]))
+        grid = hh // (2**cfg.depth)
+        gc = cfg.base_channels * (2**cfg.depth)
+        y = d.reshape(m, grid, grid, gc).astype(dtype)
+
+        # --- expansion -----------------------------------------------------
+        ep, ebs = p["expansion"], bs["expansion"]
+        for i in range(1, cfg.depth + 1):
+            up = ep[f"up{i}"]["up"]
+            y = jax.lax.conv_transpose(
+                y,
+                up["kernel"].astype(dtype),
+                strides=(2, 2),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + up["bias"].astype(dtype)
+            skip = skips[-i]
+            y = jnp.concatenate([skip, y], axis=-1)
+            y = self._double_conv(
+                y, ep[f"up{i}"]["conv"], ebs[f"up{i}"]["conv"]
+            )
+        oc = ep["outc"]["conv"]
+        y = (
+            jnp.einsum("mhwc,xycd->mhwd", y, oc["kernel"].astype(dtype))
+            + oc["bias"].astype(dtype)
+        )
+        return y.reshape(b, n, t, hh, ww, -1).astype(jnp.float32)
+
+    def __call__(self, x, date_feats):
+        return self._jitted(
+            self.params, self.batch_stats, x, date_feats, self.supports
+        )

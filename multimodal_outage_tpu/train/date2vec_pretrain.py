@@ -37,6 +37,30 @@ def date_vector_dataset(
     return rows
 
 
+# Date-feature normalization used ONLY during pre-training; it is folded
+# into the fc1/fc2 weights at save time so the saved encoder consumes raw
+# [0,0,0,y,m,d] vectors exactly like the reference checkpoint did.
+_OFFSET = np.array([0, 0, 0, 2019.0, 6.5, 15.5], np.float32)
+_SCALE = np.array([1, 1, 1, 8.0, 3.5, 9.0], np.float32)
+
+
+def _fold_normalization(params: Dict) -> Dict:
+    """Rewrite fc1/fc2 so that fc(x_raw) == fc_trained((x_raw−off)/sc).
+
+    For a linear layer out = x_norm·W + b:
+      W' = W / sc[:, None],  b' = b − (off/sc)·W.
+    """
+    out = jax.tree.map(np.asarray, params)
+    for layer in ("fc1", "fc2"):
+        w = out[layer]["kernel"]
+        b = out[layer]["bias"]
+        out[layer] = {
+            "kernel": w / _SCALE[:, None],
+            "bias": b - (_OFFSET / _SCALE) @ w,
+        }
+    return out
+
+
 def pretrain_date2vec(
     k: int = 64,
     steps: int = 2000,
@@ -44,14 +68,13 @@ def pretrain_date2vec(
     lr: float = 1e-3,
     seed: int = 42,
 ) -> Tuple[Dict, float]:
-    """Train the autoencoder; returns (encoder params subtree, final loss).
+    """Train the autoencoder on normalized date features, then fold the
+    normalization into the encoder weights; returns (params, final loss).
 
-    Normalized-input reconstruction: date features are scaled to O(1)
-    inside the loss so the year magnitude (~2020) doesn't dominate.
-    """
+    The returned fc1/fc2 accept raw [0,0,0,y,m,d] inputs (the fusion
+    model's contract, reference utils.py:124-126)."""
     data = date_vector_dataset()
-    scale = np.array([1, 1, 1, 1000.0, 6.0, 15.5], np.float32)
-    offset = np.array([0, 0, 0, 2019.0, 6.5, 15.5], np.float32)
+    data_norm = (data - _OFFSET) / _SCALE
 
     model = Date2Vec(k=k)
     rng = jax.random.PRNGKey(seed)
@@ -68,9 +91,7 @@ def pretrain_date2vec(
             recon = model.apply(
                 {"params": p}, batch, train=True, rngs={"dropout": drop_rng}
             )
-            target = (batch - offset) / scale
-            recon_scaled = (recon - offset) / scale
-            return jnp.mean(jnp.square(recon_scaled - target))
+            return jnp.mean(jnp.square(recon - batch))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
@@ -79,11 +100,11 @@ def pretrain_date2vec(
     np_rng = np.random.default_rng(seed)
     loss = jnp.inf
     for i in range(steps):
-        idx = np_rng.integers(0, data.shape[0], batch_size)
-        batch = jnp.asarray(data[idx])
+        idx = np_rng.integers(0, data_norm.shape[0], batch_size)
+        batch = jnp.asarray(data_norm[idx])
         rng, drop = jax.random.split(rng)
         params, opt_state, loss = step(params, opt_state, batch, drop)
-    return jax.tree.map(np.asarray, params), float(loss)
+    return _fold_normalization(params), float(loss)
 
 
 def save_bundle(params: Dict, path: str) -> None:

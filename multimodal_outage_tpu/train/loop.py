@@ -331,6 +331,87 @@ def fit(
     return results
 
 
+def serve_eval(
+    cfg: Config,
+    checkpoint_dir: str,
+    test_case: str,
+    latency_stats: bool = False,
+    collect_preds: bool = False,
+) -> Tuple[Optional[np.ndarray], Dict[str, float], Dict[str, float]]:
+    """Sweep the held-out hurricane through the optimized ServingModel
+    (BN folding, dropout elision, fused gwnet kernel — serving.py).
+
+    Returns (preds, metrics, latency) — latency has p50/p90 ms per batch
+    when latency_stats, else {}."""
+    import time as _time
+
+    from multimodal_outage_tpu.core import metrics as M_
+    from multimodal_outage_tpu.serving import ServingModel
+
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        raise FileNotFoundError(f"no checkpoints found in {checkpoint_dir!r}")
+    store = load_store(cfg.data.data_dir)
+    _, test_cases = leave_one_out(test_case)
+    test_ds = WindowDataset.from_case_study(
+        store, test_cases, cfg.data.dataset_range, cfg.data.horizon
+    )
+    supports = build_supports(cfg, store.n_counties)
+    model = build_model(cfg.model, cfg.data.horizon)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    device_pipe = make_pipeline(cfg, store)
+    sample_dev = _sample_batch(cfg, test_ds, device_pipe)
+    state = create_train_state(model, rng, sample_dev, supports)
+    ckpt = CheckpointManager(checkpoint_dir)
+    restored = ckpt.restore(
+        template={
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "meta": {
+                "epoch": jnp.int32(0),
+                "best_val": jnp.float32(0),
+                "best_epoch": jnp.int32(0),
+                "bad_epochs": jnp.int32(0),
+            },
+        }
+    )
+    serve = ServingModel(
+        cfg.model,
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        supports,
+    )
+    agg = M_.MeanAggregator()
+    preds = []
+    times = []
+    all_idx = np.arange(len(test_ds))
+    # jitted — eager op dispatch is pathologically slow on tunneled TPU
+    # backends and degrades subsequent dispatches in the process
+    metrics_fn = jax.jit(M_.regression_metrics)
+    for batch in _epoch_iter(
+        test_ds, all_idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe
+    ):
+        t0 = _time.perf_counter()
+        yhat = serve(batch["x"], batch["date_feats"])
+        yhat.block_until_ready()
+        times.append(_time.perf_counter() - t0)
+        agg.update(metrics_fn(yhat, batch["y"]))
+        if collect_preds:
+            # full-resolution D2H pull — only when the caller wants the
+            # rasters; it dwarfs the forward at slow host links
+            preds.append(np.asarray(yhat))
+    ckpt.close()
+    latency: Dict[str, float] = {}
+    if latency_stats and times:
+        srt = sorted(times[1:] or times)  # drop the compile batch
+        latency = {
+            "p50_ms": 1e3 * srt[len(srt) // 2],
+            "p90_ms": 1e3 * srt[int(0.9 * len(srt))] if len(srt) > 1 else 1e3 * srt[0],
+        }
+    stacked = np.concatenate(preds, axis=0) if preds else None
+    return stacked, agg.compute(), latency
+
+
 def predict(
     cfg: Config,
     checkpoint_dir: str,

@@ -18,9 +18,9 @@ def test_date_vector_dataset():
     np.testing.assert_array_equal(data[-1], [0, 0, 0, 2020, 12, 31])
 
 
-def test_pretrain_reduces_loss_and_roundtrips(tmp_path):
-    params, loss = pretrain_date2vec(k=16, steps=60, batch_size=64)
-    assert np.isfinite(loss)
+def test_pretrain_converges_and_roundtrips(tmp_path):
+    params, loss = pretrain_date2vec(k=16, steps=300, batch_size=64)
+    assert np.isfinite(loss) and loss < 1.0  # normalized-scale reconstruction
 
     path = str(tmp_path / "d2v.npz")
     save_bundle(params, path)
@@ -29,6 +29,31 @@ def test_pretrain_reduces_loss_and_roundtrips(tmp_path):
         np.testing.assert_array_equal(
             restored[layer]["kernel"], np.asarray(params[layer]["kernel"])
         )
+
+
+def test_normalization_fold_is_exact():
+    """Folded fc layers on raw dates == trained layers on normalized."""
+    from multimodal_outage_tpu.train.date2vec_pretrain import (
+        _OFFSET,
+        _SCALE,
+        _fold_normalization,
+    )
+
+    rng = np.random.default_rng(0)
+    params = {
+        layer: {
+            "kernel": rng.normal(size=(6, 8)).astype(np.float32),
+            "bias": rng.normal(size=(8,)).astype(np.float32),
+        }
+        for layer in ("fc1", "fc2", "fc3", "fc4", "fc5")
+    }
+    folded = _fold_normalization(params)
+    x_raw = np.array([[0, 0, 0, 2022, 9, 26]], np.float32)
+    x_norm = (x_raw - _OFFSET) / _SCALE
+    for layer in ("fc1", "fc2"):
+        orig = x_norm @ params[layer]["kernel"] + params[layer]["bias"]
+        new = x_raw @ folded[layer]["kernel"] + folded[layer]["bias"]
+        np.testing.assert_allclose(new, orig, atol=1e-4)
 
 
 def test_install_bundle_into_fusion(tmp_path):
