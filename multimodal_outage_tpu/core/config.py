@@ -37,6 +37,7 @@ class DataConfig:
     # "auto" keeps the packed store HBM-resident (device-side window
     # gather, zero host bytes/step) when it fits this budget:
     device_store_budget_mb: int = 4096
+    device_dtype: str = "bfloat16"  # HBM store/batch dtype (halves memory)
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,36 @@ def make_mesh(data: int = -1, model: int = 1, time: int = 1, devices=None) -> Me
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, TIME_AXIS))
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host setup (DCN): jax.distributed.initialize + global device
+    count. On a v5p pod slice each host contributes its local chips; the
+    mesh axes then span the global device list, with DP laid out so its
+    collectives ride ICI within a slice (SURVEY §5 "Distributed
+    communication backend"). No-op for single-process runs.
+
+    Returns the global device count."""
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.device_count()
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> slice:
+    """This process's row range of a [global_batch, ...] array for
+    jax.make_array_from_process_local_data-style feeding."""
+    n_proc = jax.process_count()
+    per = global_batch // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -64,39 +64,61 @@ def device_gather_batch(
     horizon: int,
     image_size: int,
 ) -> Dict[str, jnp.ndarray]:
-    """Device-resident batch assembly: one HBM gather + layout + normalize.
+    """Device-resident batch assembly: HBM gathers + layout + normalize.
 
     The packed store fits in HBM (67 counties × a few hundred dates at
-    128² ≈ 1-2 GB), so windows are gathered on device — zero host bytes
-    per step, unlike the reference's 938 pickle loads per sample
-    (SURVEY §3.2). This is the default input path; the host prefetcher
-    (PrefetchIterator) remains for stores larger than HBM.
+    128² ≈ 0.6-1 GB bf16), so windows are gathered on device — zero host
+    bytes per step, unlike the reference's 938 pickle loads per sample
+    (SURVEY §3.2). Past and future windows are gathered separately to
+    halve the peak live window at large batch. This is the default input
+    path; the host prefetcher (PrefetchIterator) remains for stores
+    larger than HBM.
     """
     b = pos.shape[0]
-    win = jnp.take(frames, pos.reshape(-1), axis=0)  # [B·2h, N, H, W]
-    n, h, w = win.shape[1:]
-    win = win.reshape(b, 2 * horizon, n, h, w)
-    win = jnp.transpose(win, (0, 2, 1, 3, 4))  # [B, N, 2h, H, W]
-    if h != image_size:
-        win = jax.image.resize(
-            win, (b, n, 2 * horizon, image_size, image_size), method="bilinear"
-        )
-    win = (win[..., None] - mean) / std
+
+    def gather_window(p):  # p: [B, horizon]
+        win = jnp.take(frames, p.reshape(-1), axis=0)  # [B·h, N, H, W]
+        n, h, w = win.shape[1:]
+        win = win.reshape(b, horizon, n, h, w)
+        win = jnp.transpose(win, (0, 2, 1, 3, 4))  # [B, N, h, H, W]
+        if h != image_size:
+            win = jax.image.resize(
+                win, (b, n, horizon, image_size, image_size), method="bilinear"
+            )
+        return (win[..., None] - mean) / std
+
     return {
-        "x": win[:, :, :horizon],
-        "y": win[:, :, horizon:],
+        "x": gather_window(pos[:, :horizon]),
+        "y": gather_window(pos[:, horizon:]),
         "date_feats": date_feats,
     }
 
 
 class DevicePipeline:
     """Keeps the packed frame store resident in HBM; batches are jitted
-    device gathers driven by tiny host-side index arrays."""
+    device gathers driven by tiny host-side index arrays.
 
-    def __init__(self, store, mean: float, std: float, image_size: int):
-        self.frames = jax.device_put(np.asarray(store.frames))
-        self.mean = jnp.float32(mean)
-        self.std = jnp.float32(std)
+    dtype: on-device dtype of the store and the produced batches.
+    bfloat16 (default) halves HBM for both; the model computes in its own
+    compute_dtype regardless and the loss accumulates in float32."""
+
+    def __init__(
+        self,
+        store,
+        mean: float,
+        std: float,
+        image_size: int,
+        dtype=jnp.bfloat16,
+    ):
+        dtype = jnp.dtype(dtype)
+        host = np.asarray(store.frames)
+        if dtype != host.dtype:
+            import ml_dtypes  # host-side cast halves the H2D transfer
+
+            host = host.astype(ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else dtype)
+        self.frames = jax.device_put(host)
+        self.mean = jnp.asarray(mean, dtype)
+        self.std = jnp.asarray(std, dtype)
         self.image_size = image_size
 
     def batch(self, dataset, batch_idx: np.ndarray) -> Dict[str, jnp.ndarray]:

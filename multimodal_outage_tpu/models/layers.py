@@ -55,9 +55,11 @@ class GroupedBatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
-            var = (
-                jnp.mean(jnp.square(xf), axis=reduce_axes, keepdims=True)
-                - jnp.square(mean)
+            # two-pass variance: E[(x−μ)²], NOT E[x²]−μ² — the latter goes
+            # (catastrophically) negative under f32 accumulation on large
+            # near-constant planes and NaNs the rsqrt
+            var = jnp.mean(
+                jnp.square(xf - mean), axis=reduce_axes, keepdims=True
             )
             if not self.is_initializing():
                 m = math.prod(x.shape[a] for a in reduce_axes)

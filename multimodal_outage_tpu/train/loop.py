@@ -86,8 +86,14 @@ def make_pipeline(cfg: Config, store):
         return None
     size_mb = store.frames.size * store.frames.dtype.itemsize / 1e6
     if cfg.data.pipeline == "device" or size_mb <= cfg.data.device_store_budget_mb:
+        import jax.numpy as _jnp
+
         return DevicePipeline(
-            store, cfg.data.mean, cfg.data.std, cfg.data.image_size
+            store,
+            cfg.data.mean,
+            cfg.data.std,
+            cfg.data.image_size,
+            dtype=_jnp.dtype(cfg.data.device_dtype),
         )
     return None
 
@@ -261,11 +267,13 @@ def fit(
             eval_step, state, ds, val_idx, cfg, supports, device_pipe
         )
         dt = time.time() - t0
+        tiles = len(train_idx) * ds.store.n_counties * cfg.data.horizon
         logger.log(
             {
                 "phase": "val",
                 "epoch": epoch,
                 "epoch_seconds": dt,
+                "train_tiles_per_sec": tiles / dt,  # BASELINE throughput meter
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
         )

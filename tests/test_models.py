@@ -48,6 +48,17 @@ def test_grouped_batchnorm_per_group_stats():
     np.testing.assert_allclose(y.std(axis=1), 1.0, atol=1e-2)
 
 
+def test_grouped_batchnorm_stable_on_large_constant_planes():
+    """Regression: E[x²]−μ² variance went negative → NaN on large
+    near-constant inputs (seen at full 128² scale)."""
+    x = jnp.full((2, 7 * 128 * 128, 1), 4.4721, jnp.float32)
+    x = x + jax.random.normal(KEY, x.shape) * 1e-4
+    m = GroupedBatchNorm(num_group_axes=1)
+    variables = m.init(KEY, x, train=True)
+    y, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
 def test_grouped_batchnorm_eval_uses_running_stats():
     m = GroupedBatchNorm(num_group_axes=1)
     x = jax.random.normal(KEY, (3, 64, 2)) * 3 + 1
@@ -132,6 +143,20 @@ def test_gwnet_shapes_and_grads():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     # adaptive adjacency factors receive gradient
     assert np.any(np.asarray(grads["nodevec1"]) != 0)
+
+
+def test_gwnet_no_gcn_branch():
+    """supports=None + addaptadj=False → 1×1 residual convs instead of
+    graph diffusion (reference models/graph_wavenet.py:244-245)."""
+    m = GraphWaveNet(out_dim=8, addaptadj=False,
+                     residual_channels=4, dilation_channels=4,
+                     skip_channels=6, end_channels=6, blocks=1, layers=2)
+    x = jax.random.normal(KEY, (2, N, T, 10))
+    variables = m.init({"params": KEY, "dropout": KEY}, x, None, train=False)
+    out = m.apply(variables, x, None, train=False)
+    assert out.shape == (2, N, T, 8)
+    assert "residual_conv0" in variables["params"]
+    assert "nodevec1" not in variables["params"]
 
 
 def test_gwnet_temporal_kernel_preserves_length():

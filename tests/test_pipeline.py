@@ -64,7 +64,9 @@ def test_device_pipeline_matches_host_path(tiny_store):
         tiny_store, HURRICANES, dataset_range=5, horizon=2
     )
     mean, std = 2.0, 3.0
-    pipe = DevicePipeline(tiny_store, mean, std, tiny_store.image_size)
+    pipe = DevicePipeline(
+        tiny_store, mean, std, tiny_store.image_size, dtype=jnp.float32
+    )
     idx = np.array([0, 2])
     dev = pipe.batch(ds, idx)
 
@@ -79,6 +81,26 @@ def test_device_pipeline_matches_host_path(tiny_store):
         np.testing.assert_allclose(
             np.asarray(dev[k]), np.asarray(host_dev[k]), atol=1e-6
         )
+
+
+def test_device_pipeline_bf16_default(tiny_store):
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    ds = WindowDataset.from_case_study(
+        tiny_store, HURRICANES, dataset_range=5, horizon=2
+    )
+    pipe = DevicePipeline(tiny_store, 2.0, 3.0, tiny_store.image_size)
+    assert pipe.frames.dtype == jnp.bfloat16
+    b = pipe.batch(ds, np.array([0]))
+    assert b["x"].dtype == jnp.bfloat16
+    # close to the f32 host path within bf16 tolerance
+    host = ds.gather_batch(np.array([0]))
+    expected = (host["past"].transpose(0, 2, 1, 3, 4) - 2.0) / 3.0
+    np.testing.assert_allclose(
+        np.asarray(b["x"][..., 0], np.float32), expected, atol=0.1, rtol=0.02
+    )
 
 
 def test_prefetch_iterator_propagates_errors():

@@ -109,6 +109,17 @@ def test_sharded_matches_single_device():
         )
 
 
+def test_initialize_distributed_single_process():
+    from multimodal_outage_tpu.core.mesh import (
+        initialize_distributed,
+        local_batch_slice,
+    )
+
+    assert initialize_distributed() == jax.device_count()
+    mesh = make_mesh(data=8)
+    assert local_batch_slice(16, mesh) == slice(0, 16)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -112,6 +112,37 @@ def test_resume_continues_from_checkpoint(tiny_cfg, tmp_path):
     assert epochs2 == [0, 1]
 
 
+def test_donated_step_matches_undonated(tiny_cfg):
+    """Buffer donation must not change numerics (SURVEY §5 'sanitizers':
+    donate-buffer correctness)."""
+    from multimodal_outage_tpu.models.fusion import build_model
+    from multimodal_outage_tpu.train.state import create_train_state
+    from multimodal_outage_tpu.train.steps import make_train_step
+
+    cfg = tiny_cfg
+    n, t, s = cfg.data.n_counties, cfg.data.horizon, cfg.data.image_size
+    model = build_model(cfg.model, t)
+    rng = jax.random.PRNGKey(3)
+    batch = {
+        "x": jax.random.normal(rng, (2, n, t, s, s, 1)),
+        "y": jax.random.normal(rng, (2, n, t, s, s, 1)),
+        "date_feats": jnp.zeros((2, t, 6)),
+    }
+    supports = jnp.eye(n)[None]
+    state_a = create_train_state(model, rng, batch, supports)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    sa, ma = make_train_step(model, donate=False)(
+        state_a, batch, supports, jnp.float32(1e-3), rng
+    )
+    sb, mb = make_train_step(model, donate=True)(
+        state_b, batch, supports, jnp.float32(1e-3), rng
+    )
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_train_step_updates_params(tiny_cfg):
     from multimodal_outage_tpu.models.fusion import build_model
     from multimodal_outage_tpu.train.state import create_train_state
