@@ -31,6 +31,10 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--compute_dtype", type=str, default="bfloat16", help="bfloat16|float32"
     )
+    p.add_argument(
+        "--d2v_bundle", type=str, default=None,
+        help=".npz Date2Vec bundle from pretrain-d2v",
+    )
 
 
 def _build_config(args):
@@ -53,6 +57,7 @@ def _build_config(args):
         input_channels=args.input_channels,
         output_channels=args.output_channels,
         compute_dtype=args.compute_dtype,
+        d2v_bundle=getattr(args, "d2v_bundle", None),
     )
     train = TrainConfig(
         epochs=getattr(args, "epochs", 5),

@@ -93,6 +93,9 @@ class ModelConfig:
     compression_factor: int = 4  # reference models/unet.py:38
     encoder_dropout: float = 0.3  # reference models/unet.py:135
     train_date2vec: bool = False  # reference freezes a pretrained Date2Vec
+    # .npz bundle from `pretrain-d2v` installed into the date2vec subtree
+    # at model build (the reference's pretrained-checkpoint role):
+    d2v_bundle: Optional[str] = None
     gwnet: GWNetConfig = field(default_factory=GWNetConfig)
     dcrnn: DCRNNConfig = field(default_factory=DCRNNConfig)
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU

@@ -126,7 +126,14 @@ def ingest_directory(
     Only dates common to all counties are kept (the windowing requires a
     dense [D, N] grid). Sentinels are zeroed by save_store.
     """
-    counties = sorted(counties or os.listdir(raw_dir))
+    counties = sorted(
+        counties
+        or [
+            d
+            for d in os.listdir(raw_dir)
+            if os.path.isdir(os.path.join(raw_dir, d))
+        ]
+    )
     per_county = {
         c: find_available_dates(os.path.join(raw_dir, c)) for c in counties
     }

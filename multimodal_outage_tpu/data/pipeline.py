@@ -76,7 +76,7 @@ def device_gather_batch(
     """
     b = pos.shape[0]
 
-    def gather_window(p):  # p: [B, horizon]
+    def gather_window(p, dtype):  # p: [B, horizon]
         win = jnp.take(frames, p.reshape(-1), axis=0)  # [B·h, N, H, W]
         n, h, w = win.shape[1:]
         win = win.reshape(b, horizon, n, h, w)
@@ -85,11 +85,14 @@ def device_gather_batch(
             win = jax.image.resize(
                 win, (b, n, horizon, image_size, image_size), method="bilinear"
             )
-        return (win[..., None] - mean) / std
+        return ((win[..., None] - mean) / std).astype(dtype)
 
     return {
-        "x": gather_window(pos[:, :horizon]),
-        "y": gather_window(pos[:, horizon:]),
+        # model input may be reduced precision; the TARGET stays float32 —
+        # loss/MAE are insensitive but MAPE's near-zero denominators
+        # amplify target quantization ~25×
+        "x": gather_window(pos[:, :horizon], mean.dtype),
+        "y": gather_window(pos[:, horizon:], jnp.float32),
         "date_feats": date_feats,
     }
 
@@ -98,9 +101,10 @@ class DevicePipeline:
     """Keeps the packed frame store resident in HBM; batches are jitted
     device gathers driven by tiny host-side index arrays.
 
-    dtype: on-device dtype of the store and the produced batches.
-    bfloat16 (default) halves HBM for both; the model computes in its own
-    compute_dtype regardless and the loss accumulates in float32."""
+    dtype: dtype of the model-input (`x`) batches; bfloat16 (default)
+    halves their HBM footprint. The frame store and the `y` targets stay
+    float32 so metric semantics (especially MAPE's near-zero
+    denominators) match the reference exactly."""
 
     def __init__(
         self,
@@ -111,12 +115,7 @@ class DevicePipeline:
         dtype=jnp.bfloat16,
     ):
         dtype = jnp.dtype(dtype)
-        host = np.asarray(store.frames)
-        if dtype != host.dtype:
-            import ml_dtypes  # host-side cast halves the H2D transfer
-
-            host = host.astype(ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else dtype)
-        self.frames = jax.device_put(host)
+        self.frames = jax.device_put(np.asarray(store.frames, np.float32))
         self.mean = jnp.asarray(mean, dtype)
         self.std = jnp.asarray(std, dtype)
         self.image_size = image_size

@@ -21,6 +21,23 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+# Typical magnitudes of the raw [0,0,0,y,m,d] input features; the encoder
+# kernels are initialized inversely so random-init embeddings are O(1)
+# (a plain lecun init on a year≈2022 input yields |embeddings| ≈ 10³,
+# drowning the O(1) image features it gets concatenated with).
+_FEATURE_SCALE = (1.0, 1.0, 1.0, 2000.0, 6.5, 15.5)
+
+
+def _feature_scaled_init():
+    base = nn.initializers.lecun_normal()
+
+    def init(key, shape, dtype=jnp.float32):
+        k = base(key, shape, dtype)
+        return k / jnp.asarray(_FEATURE_SCALE, dtype)[:, None]
+
+    return init
+
+
 class Date2Vec(nn.Module):
     k: int = 64
     act: str = "sin"
@@ -29,8 +46,12 @@ class Date2Vec(nn.Module):
     def setup(self):
         k1 = self.k // 2
         k2 = self.k // 2 + (self.k % 2)
-        self.fc1 = nn.Dense(k1, dtype=self.dtype, name="fc1")
-        self.fc2 = nn.Dense(k2, dtype=self.dtype, name="fc2")
+        self.fc1 = nn.Dense(
+            k1, dtype=self.dtype, kernel_init=_feature_scaled_init(), name="fc1"
+        )
+        self.fc2 = nn.Dense(
+            k2, dtype=self.dtype, kernel_init=_feature_scaled_init(), name="fc2"
+        )
         # Autoencoder head used only for pre-training (date2vec.py:33-38).
         self.fc3 = nn.Dense(self.k // 2, dtype=self.dtype, name="fc3")
         self.fc4 = nn.Dense(6, dtype=self.dtype, name="fc4")

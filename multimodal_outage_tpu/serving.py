@@ -86,6 +86,11 @@ class ServingModel:
         if gwnet_pallas is None:
             gwnet_pallas = interpret  # interpret-mode tests exercise it
         self.gwnet_pallas = gwnet_pallas
+        if cfg.st_gnn != "gwnet":
+            raise NotImplementedError(
+                f"ServingModel supports st_gnn='gwnet' only (got "
+                f"{cfg.st_gnn!r}); use evaluate/predict for other st-GNNs"
+            )
         g = cfg.gwnet
         self._gwnet = GraphWaveNet(
             out_dim=cfg.feature_vector_size,
@@ -100,6 +105,7 @@ class ServingModel:
             order=g.order,
             addaptadj=g.addaptadj,
             node_embed_dim=g.node_embed_dim,
+            reference_view_quirk=g.reference_view_quirk,
             use_pallas=self.gwnet_pallas,
             pallas_interpret=interpret,
             dtype=jnp.dtype(cfg.compute_dtype),
@@ -180,6 +186,16 @@ class ServingModel:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + up["bias"].astype(dtype)
             skip = skips[-i]
+            # pad-to-match for non-power-of-two sizes, same as the
+            # training model's Up block (models/layers.py)
+            dh = skip.shape[-3] - y.shape[-3]
+            dw = skip.shape[-2] - y.shape[-2]
+            if dh or dw:
+                y = jnp.pad(
+                    y,
+                    [(0, 0), (dh // 2, dh - dh // 2),
+                     (dw // 2, dw - dw // 2), (0, 0)],
+                )
             y = jnp.concatenate([skip, y], axis=-1)
             y = self._double_conv(
                 y, ep[f"up{i}"]["conv"], ebs[f"up{i}"]["conv"]

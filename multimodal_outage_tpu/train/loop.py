@@ -46,14 +46,34 @@ from multimodal_outage_tpu.train.steps import (
 )
 
 
-def build_supports(cfg: Config, n_counties: int) -> jnp.ndarray:
+def _norm_county(name: str) -> str:
+    return name.lower().replace(" ", "_").replace(".", "").replace("-", "_")
+
+
+def build_supports(cfg: Config, n_counties, store=None) -> jnp.ndarray:
     """[S, N, N] static GCN supports from the adjacency asset (or synthetic
-    for small-N test configs)."""
+    for small-N test configs).
+
+    When a store is given and the adjtype actually uses the adjacency
+    (not the order-invariant identity), the store's county order must
+    match the CSV's — otherwise each county would silently get another
+    county's neighbors."""
+    adjtype = cfg.model.gwnet.adjtype
     if n_counties == 67:
-        _, sup = adjacency.load_supports(cfg.adjacency_csv, cfg.model.gwnet.adjtype)
+        names, sup = adjacency.load_supports(cfg.adjacency_csv, adjtype)
+        if store is not None and adjtype != "identity":
+            csv_order = [_norm_county(n) for n in names]
+            store_order = [_norm_county(n) for n in store.county_names]
+            if csv_order != store_order:
+                raise ValueError(
+                    "store county order does not match the adjacency CSV "
+                    f"(first mismatch at index "
+                    f"{next(i for i, (a, b) in enumerate(zip(csv_order, store_order)) if a != b)}); "
+                    "reorder the store or supply a matching --adjacency CSV"
+                )
     else:
         adj = adjacency.synthetic_adjacency(n_counties, seed=cfg.train.seed)
-        sup = adjacency.build_supports(adj, cfg.model.gwnet.adjtype)
+        sup = adjacency.build_supports(adj, adjtype)
     return jnp.asarray(np.stack(sup))
 
 
@@ -84,10 +104,11 @@ def make_pipeline(cfg: Config, store):
 
     if cfg.data.pipeline == "host":
         return None
-    size_mb = store.frames.size * store.frames.dtype.itemsize / 1e6
-    if cfg.data.pipeline == "device" or size_mb <= cfg.data.device_store_budget_mb:
-        import jax.numpy as _jnp
+    import jax.numpy as _jnp
 
+    # the store stays f32 on device (targets keep full precision)
+    size_mb = store.frames.size * 4 / 1e6
+    if cfg.data.pipeline == "device" or size_mb <= cfg.data.device_store_budget_mb:
         return DevicePipeline(
             store,
             cfg.data.mean,
@@ -132,6 +153,11 @@ def evaluate(
     return agg.compute()
 
 
+@jax.jit
+def _metric_add(acc, m):
+    return jax.tree.map(lambda a, b: a + b, acc, m)
+
+
 def _sample_batch(cfg: Config, ds, device_pipe):
     """One batch for model/optimizer init (shapes only)."""
     if device_pipe is not None:
@@ -168,13 +194,15 @@ def fit(
             f"Size of train_set: {len(train_idx)}, val_set: {len(val_idx)}, "
             f"and test_set: {len(test_ds)}"
         )
-    supports = build_supports(cfg, ds.store.n_counties)
+    supports = build_supports(cfg, ds.store.n_counties, ds.store)
     model = build_model(cfg.model, cfg.data.horizon)
     device_pipe = make_pipeline(cfg, ds.store)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     sample_dev = _sample_batch(cfg, ds, device_pipe)
-    state = create_train_state(model, rng, sample_dev, supports)
+    state = create_train_state(
+        model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
+    )
     if progress:
         print(f"Model parameters: {param_count(state.params):,}")
 
@@ -207,7 +235,7 @@ def fit(
     template = ckpt_tree(state, 0, jnp.inf, -1, 0)
 
     if cfg.train.resume and ckpt.latest_step() is not None:
-        restored = ckpt.restore(step=ckpt.latest_step(), template=template)
+        restored = ckpt.restore_latest(template=template)
         state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -226,7 +254,10 @@ def fit(
     for epoch in range(start_epoch, cfg.train.epochs):
         lr = cosine_annealing_lr(epoch, cfg.train.lr, cfg.train.cosine_t_max)
         t0 = time.time()
-        train_agg = M.MeanAggregator()
+        # metric accumulation stays ON DEVICE (one tiny jitted add per
+        # step); per-step float() fetches would serialize host and device
+        metric_sum = None
+        metric_count = 0
         for batch in _epoch_iter(
             ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch,
             device_pipe=device_pipe,
@@ -260,8 +291,17 @@ def fit(
                         **device_memory_stats(),
                     }
                 )
-            train_agg.update(step_metrics)
-        train_metrics = train_agg.compute()
+            metric_sum = (
+                step_metrics
+                if metric_sum is None
+                else _metric_add(metric_sum, step_metrics)
+            )
+            metric_count += 1
+        train_metrics = (
+            {k: float(v) / metric_count for k, v in metric_sum.items()}
+            if metric_count
+            else {}
+        )
 
         val_metrics = evaluate(
             eval_step, state, ds, val_idx, cfg, supports, device_pipe
@@ -363,12 +403,14 @@ def serve_eval(
     test_ds = WindowDataset.from_case_study(
         store, test_cases, cfg.data.dataset_range, cfg.data.horizon
     )
-    supports = build_supports(cfg, store.n_counties)
+    supports = build_supports(cfg, store.n_counties, store)
     model = build_model(cfg.model, cfg.data.horizon)
     rng = jax.random.PRNGKey(cfg.train.seed)
     device_pipe = make_pipeline(cfg, store)
     sample_dev = _sample_batch(cfg, test_ds, device_pipe)
-    state = create_train_state(model, rng, sample_dev, supports)
+    state = create_train_state(
+        model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
+    )
     ckpt = CheckpointManager(checkpoint_dir)
     restored = ckpt.restore(
         template={
@@ -437,13 +479,15 @@ def predict(
     test_ds = WindowDataset.from_case_study(
         store, test_cases, cfg.data.dataset_range, cfg.data.horizon
     )
-    supports = build_supports(cfg, store.n_counties)
+    supports = build_supports(cfg, store.n_counties, store)
     model = build_model(cfg.model, cfg.data.horizon)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     device_pipe = make_pipeline(cfg, store)
     sample_dev = _sample_batch(cfg, test_ds, device_pipe)
-    state = create_train_state(model, rng, sample_dev, supports)
+    state = create_train_state(
+        model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
+    )
     ckpt = CheckpointManager(checkpoint_dir)
     restored = ckpt.restore(
         step=step,

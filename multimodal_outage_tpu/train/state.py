@@ -39,7 +39,8 @@ def cosine_annealing_lr(epoch: int, base_lr: float, t_max: int) -> float:
 
 
 def create_train_state(
-    model, rng: jax.Array, sample_batch: Dict[str, jnp.ndarray], supports
+    model, rng: jax.Array, sample_batch: Dict[str, jnp.ndarray], supports,
+    d2v_bundle: str | None = None,
 ) -> TrainState:
     variables = model.init(
         {"params": rng, "dropout": rng},
@@ -49,6 +50,13 @@ def create_train_state(
         train=False,
     )
     params = variables["params"]
+    if d2v_bundle:
+        from multimodal_outage_tpu.train.date2vec_pretrain import (
+            install_bundle,
+            load_bundle,
+        )
+
+        params = install_bundle(params, load_bundle(d2v_bundle))
     batch_stats = variables.get("batch_stats", {})
     opt_state = make_optimizer().init(params)
     return TrainState(

@@ -132,16 +132,13 @@ def save_risk_maps(
                 )
                 normal = np.rot90(normal.T, k=1)
                 if normal.shape != ntl.shape:
-                    # store resolution may differ from model resolution
-                    from math import gcd
-
-                    import numpy as _np
-
-                    zoom_y = ntl.shape[0] / normal.shape[0]
-                    yy = (_np.arange(ntl.shape[0]) / zoom_y).astype(int)
-                    xx = (_np.arange(ntl.shape[1]) / zoom_y).astype(int)
-                    normal = normal[_np.clip(yy, 0, normal.shape[0] - 1)][
-                        :, _np.clip(xx, 0, normal.shape[1] - 1)
+                    # store resolution may differ from model resolution:
+                    # nearest-neighbor resize
+                    zoom = ntl.shape[0] / normal.shape[0]
+                    yy = (np.arange(ntl.shape[0]) / zoom).astype(int)
+                    xx = (np.arange(ntl.shape[1]) / zoom).astype(int)
+                    normal = normal[np.clip(yy, 0, normal.shape[0] - 1)][
+                        :, np.clip(xx, 0, normal.shape[1] - 1)
                     ]
                 pon = percent_of_normal(ntl, normal)
                 fig, ax = plt.subplots(figsize=(4, 4), dpi=100)

@@ -92,14 +92,19 @@ def test_device_pipeline_bf16_default(tiny_store):
         tiny_store, HURRICANES, dataset_range=5, horizon=2
     )
     pipe = DevicePipeline(tiny_store, 2.0, 3.0, tiny_store.image_size)
-    assert pipe.frames.dtype == jnp.bfloat16
     b = pipe.batch(ds, np.array([0]))
+    # model input in bf16; targets stay f32 for metric fidelity (MAPE's
+    # near-zero denominators amplify target quantization)
     assert b["x"].dtype == jnp.bfloat16
-    # close to the f32 host path within bf16 tolerance
+    assert b["y"].dtype == jnp.float32
     host = ds.gather_batch(np.array([0]))
-    expected = (host["past"].transpose(0, 2, 1, 3, 4) - 2.0) / 3.0
+    expected_x = (host["past"].transpose(0, 2, 1, 3, 4) - 2.0) / 3.0
     np.testing.assert_allclose(
-        np.asarray(b["x"][..., 0], np.float32), expected, atol=0.1, rtol=0.02
+        np.asarray(b["x"][..., 0], np.float32), expected_x, atol=0.1, rtol=0.02
+    )
+    expected_y = (host["future"].transpose(0, 2, 1, 3, 4) - 2.0) / 3.0
+    np.testing.assert_allclose(
+        np.asarray(b["y"][..., 0]), expected_y, atol=2e-2, rtol=1e-2
     )
 
 
