@@ -84,12 +84,22 @@ def dense(x, kernel, bias):
 
 
 class TorchOracle:
-    """Eval-mode forward of the full fusion model from flax weights."""
+    """Eval-mode forward of the full fusion model from flax weights.
 
-    def __init__(self, fp: FlaxParams, depth: int = 4, order: int = 2):
+    view_quirk reproduces the reference's raw .view() memory reinterpret
+    at the gwnet boundary (reference models/graph_wavenet.py:189,255)."""
+
+    def __init__(
+        self,
+        fp: FlaxParams,
+        depth: int = 4,
+        order: int = 2,
+        view_quirk: bool = False,
+    ):
         self.fp = fp
         self.depth = depth
         self.order = order
+        self.view_quirk = view_quirk
 
     # --- blocks -----------------------------------------------------------
     def double_conv(self, x, scope):
@@ -141,6 +151,10 @@ class TorchOracle:
     def gwnet(self, x, supports, blocks=4, layers=2):
         fp = self.fp
         sc = "st_gnn"
+        if self.view_quirk:
+            b, n, t, c = x.shape
+            # torch: input.view(1, C, N, T) on [N, T, C] contiguous memory
+            x = x.reshape(b, c, n, t).permute(0, 2, 3, 1).contiguous()
         x = dense(x, fp.p(f"{sc}/start_conv/kernel"), fp.p(f"{sc}/start_conv/bias"))
         nv1 = fp.p(f"{sc}/nodevec1")
         nv2 = fp.p(f"{sc}/nodevec2")
@@ -185,7 +199,14 @@ class TorchOracle:
         out = F.relu(
             dense(out, fp.p(f"{sc}/end_conv_1/kernel"), fp.p(f"{sc}/end_conv_1/bias"))
         )
-        return dense(out, fp.p(f"{sc}/end_conv_2/kernel"), fp.p(f"{sc}/end_conv_2/bias"))
+        out = dense(out, fp.p(f"{sc}/end_conv_2/kernel"), fp.p(f"{sc}/end_conv_2/bias"))
+        if self.view_quirk:
+            bo, no, to, co = out.shape
+            # torch: x.view(N, T, C) on [1, C, N, T] contiguous memory
+            out = (
+                out.permute(0, 3, 1, 2).contiguous().reshape(bo, no, to, co)
+            )
+        return out
 
     def decoder(self, x, grid, grid_ch):
         fp = self.fp

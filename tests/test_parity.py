@@ -26,8 +26,16 @@ def _randomize_batch_stats(batch_stats, key):
 
 
 @pytest.mark.slow
-def test_fusion_matches_torch_oracle():
-    cfg = ModelConfig(compute_dtype="float32")
+@pytest.mark.parametrize("view_quirk", [False, True])
+def test_fusion_matches_torch_oracle(view_quirk):
+    import dataclasses
+
+    from multimodal_outage_tpu.core.config import GWNetConfig
+
+    cfg = ModelConfig(
+        compute_dtype="float32",
+        gwnet=GWNetConfig(reference_view_quirk=view_quirk),
+    )
     model = build_model(cfg, horizon=T)
     x = jax.random.normal(KEY, (B, N, T, H, H, 1))
     feats = jnp.tile(
@@ -48,7 +56,7 @@ def test_fusion_matches_torch_oracle():
 
     params_np = jax.tree.map(np.asarray, variables["params"])
     bs_np = jax.tree.map(np.asarray, batch_stats)
-    oracle = TorchOracle(FlaxParams(params_np, bs_np))
+    oracle = TorchOracle(FlaxParams(params_np, bs_np), view_quirk=view_quirk)
     y_torch = oracle.forward(np.asarray(x), np.asarray(feats), np.asarray(sup))
 
     np.testing.assert_allclose(
