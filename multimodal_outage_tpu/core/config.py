@@ -76,9 +76,10 @@ class DCRNNConfig:
     max_diffusion_step: int = 2
     num_rnn_layers: int = 2
     rnn_units: int = 64
+    # Support-set construction (reference kwargs interface,
+    # models/unet.py:17): dual_random_walk → [D⁻¹A, D⁻¹Aᵀ],
+    # random_walk → [D⁻¹A], identity → [I]
     filter_type: str = "dual_random_walk"
-    use_curriculum_learning: bool = False
-    cl_decay_steps: int = 1000
 
 
 @dataclass(frozen=True)

@@ -58,7 +58,15 @@ def build_supports(cfg: Config, n_counties, store=None) -> jnp.ndarray:
     (not the order-invariant identity), the store's county order must
     match the CSV's — otherwise each county would silently get another
     county's neighbors."""
-    adjtype = cfg.model.gwnet.adjtype
+    if cfg.model.st_gnn == "dcrnn":
+        # honor the DCRNN filter_type interface (reference models/unet.py:17)
+        adjtype = {
+            "dual_random_walk": "doubletransition",
+            "random_walk": "transition",
+            "identity": "identity",
+        }[cfg.model.dcrnn.filter_type]
+    else:
+        adjtype = cfg.model.gwnet.adjtype
     if n_counties == 67:
         names, sup = adjacency.load_supports(cfg.adjacency_csv, adjtype)
         if store is not None and adjtype != "identity":

@@ -119,6 +119,28 @@ def test_county_order_mismatch_raises(tiny_store):
     build_supports(cfg_id, 67, fake_store)
 
 
+def test_dcrnn_filter_type_selects_supports():
+    """DCRNN's filter_type (reference kwargs interface) drives support
+    construction: dual_random_walk → two random-walk matrices."""
+    from multimodal_outage_tpu.core.config import DCRNNConfig
+    from multimodal_outage_tpu.train.loop import build_supports
+
+    cfg = Config(model=ModelConfig(st_gnn="dcrnn"))
+    sup = build_supports(cfg, 10)
+    assert sup.shape == (2, 10, 10)  # dual random walk
+    np.testing.assert_allclose(
+        np.asarray(sup[0]).sum(1).max(), 1.0, atol=1e-5
+    )
+
+    cfg_id = Config(
+        model=ModelConfig(
+            st_gnn="dcrnn", dcrnn=DCRNNConfig(filter_type="identity")
+        )
+    )
+    sup = build_supports(cfg_id, 10)
+    np.testing.assert_array_equal(np.asarray(sup[0]), np.eye(10))
+
+
 def test_pipeline_budget_and_dtypes(tiny_store):
     """Budget reflects the actual on-device (f32) store size; x batches
     are bf16 while the store and y stay f32 (findings #7 + MAPE fidelity)."""

@@ -75,6 +75,16 @@ def test_fit_end_to_end(tiny_cfg, tmp_path):
     )
     assert np.isfinite(metrics["loss"])
 
+    # serving engine on the same checkpoint agrees with predict()
+    from multimodal_outage_tpu.train.loop import serve_eval
+
+    _, serve_metrics, _ = serve_eval(
+        cfg, os.path.join(run_dir, "checkpoints"), test_case="michael"
+    )
+    np.testing.assert_allclose(
+        serve_metrics["loss"], metrics["loss"], rtol=1e-3
+    )
+
 
 @pytest.mark.slow
 def test_resume_continues_from_checkpoint(tiny_cfg, tmp_path):
