@@ -53,7 +53,12 @@ class GWNetConfig:
     layers: int = 2
     dropout: float = 0.3
     order: int = 2  # diffusion order (reference models/graph_wavenet.py:77)
+    gcn_bool: bool = True  # False ⇒ no graph conv at all (reference :100,240)
     addaptadj: bool = True
+    # randomadj=False seeds the adaptive-adjacency node embeddings with the
+    # SVD factorization of the first static support instead of random init
+    # (reference graph_wavenet.py:46,136-141 aptinit path):
+    randomadj: bool = True
     node_embed_dim: int = 10  # adaptive-adjacency factor rank (reference :132-133)
     adjtype: str = "identity"  # reference's "doubletransition" degenerates to
     # identity (reference models/graph_wavenet.py:23-24); "doubletransition"
@@ -80,6 +85,10 @@ class DCRNNConfig:
     # models/unet.py:17): dual_random_walk → [D⁻¹A, D⁻¹Aᵀ],
     # random_walk → [D⁻¹A], identity → [I]
     filter_type: str = "dual_random_walk"
+    # Scheduled-sampling probability for the decoder (canonical DCRNN
+    # design; only active when latent targets are passed to the module —
+    # the fusion call site has none, so it always self-feeds there):
+    teacher_forcing: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -101,6 +110,10 @@ class ModelConfig:
     dcrnn: DCRNNConfig = field(default_factory=DCRNNConfig)
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
+    # Rematerialize U-Net conv blocks in the backward pass (jax.checkpoint):
+    # trades ~⅓ extra conv FLOPs for O(depth) less activation HBM, raising
+    # the largest trainable batch on a chip (b=16 OOMs a v5e without it):
+    remat: bool = False
 
     @property
     def st_gnn_in_dim(self) -> int:
@@ -165,4 +178,8 @@ def small_test_config(
         ),
         model=ModelConfig(compute_dtype="float32"),
         train=TrainConfig(batch_size=batch_size, epochs=1),
+        # single-device by default: the test env forces 8 virtual CPU
+        # devices, and data=-1 would auto-SPMD every unit test; SPMD fit
+        # is exercised explicitly in tests/test_fit_spmd.py
+        mesh=MeshConfig(data=1),
     )

@@ -16,9 +16,10 @@ over (B, T) on the MXU.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -114,12 +115,61 @@ class _StackedStep(nn.Module):
         return tuple(new_states), inp
 
 
+class _DecoderStep(nn.Module):
+    """One decoder step (scanned over the horizon): stacked DCGRU cells +
+    output projection + next-input selection (self-feed or, with scheduled
+    sampling during training, the ground-truth target — the canonical
+    DCRNN decoder design the reference's missing source implemented)."""
+
+    rnn_units: int
+    num_rnn_layers: int
+    max_diffusion_step: int
+    output_dim: int
+    use_teacher: bool = False  # static: targets provided AND training
+    teacher_forcing: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, target_t, supports):
+        states, prev = carry
+        new_states = []
+        inp = prev
+        for layer in range(self.num_rnn_layers):
+            h = DCGRUCell(
+                self.rnn_units,
+                self.max_diffusion_step,
+                dtype=self.dtype,
+                name=f"cell{layer}",
+            )(states[layer], inp, supports)
+            new_states.append(h)
+            inp = h
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(inp)
+        nxt = out
+        if self.use_teacher:
+            use_tf = jax.random.bernoulli(
+                self.make_rng("sampling"), self.teacher_forcing
+            )
+            nxt = jnp.where(use_tf, target_t.astype(out.dtype), out)
+        return (tuple(new_states), nxt), out
+
+
 class DCRNN(nn.Module):
     """Encoder-decoder seq2seq over the temporal axis.
 
     Input  [B, N, T, input_dim] → Output [B, N, horizon, output_dim].
     At the fusion call site input_dim = 320, output_dim = 256,
     horizon = seq_len = T (reference models/unet.py:207-212 wiring).
+
+    Both the encoder recurrence and the decoder rollout are single
+    lax.scans (via nn.scan) — no Python time loops, so the horizon is a
+    compile-time-static but arbitrarily long sequence axis.
+
+    Teacher forcing: pass `targets` [B, N, horizon, output_dim] while
+    training with teacher_forcing > 0 (and an rng named "sampling") and
+    each decoder step feeds the ground truth with that probability —
+    scheduled sampling, per the public DCRNN design (Li et al. 2018).
+    At the fusion call site targets live in latent space and are not
+    available, so fusion always self-feeds (matching eval-mode use).
     """
 
     output_dim: int = 256
@@ -127,11 +177,16 @@ class DCRNN(nn.Module):
     rnn_units: int = 64
     num_rnn_layers: int = 2
     max_diffusion_step: int = 2
+    teacher_forcing: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, supports: jnp.ndarray, train: bool
+        self,
+        x: jnp.ndarray,
+        supports: jnp.ndarray,
+        train: bool,
+        targets: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, n, t, _ = x.shape
         init_states = tuple(
@@ -154,20 +209,30 @@ class DCRNN(nn.Module):
         )
         states, _ = encoder(init_states, x, supports)
 
-        # Decoder: feed back the projected output (GO symbol = zeros).
-        decoder_step = _StackedStep(
+        use_teacher = (
+            targets is not None and train and self.teacher_forcing > 0.0
+        )
+        decoder = nn.scan(
+            _DecoderStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "sampling": True},
+            in_axes=(2, nn.broadcast),  # targets over T; broadcast supports
+            out_axes=2,
+        )(
             self.rnn_units,
             self.num_rnn_layers,
             self.max_diffusion_step,
+            self.output_dim,
+            use_teacher=use_teacher,
+            teacher_forcing=self.teacher_forcing,
             dtype=self.dtype,
             name="decoder",
         )
-        proj = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")
-
-        outputs = []
-        prev = jnp.zeros((b, n, self.output_dim), self.dtype)
-        for _ in range(self.horizon):
-            states, h = decoder_step(states, prev, supports)
-            prev = proj(h)
-            outputs.append(prev)
-        return jnp.stack(outputs, axis=2)
+        if targets is None:
+            targets = jnp.zeros(
+                (b, n, self.horizon, self.output_dim), self.dtype
+            )
+        # GO symbol = zeros (canonical DCRNN decoder start token)
+        go = jnp.zeros((b, n, self.output_dim), self.dtype)
+        _, outputs = decoder((states, go), targets, supports)
+        return outputs

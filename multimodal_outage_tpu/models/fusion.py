@@ -51,6 +51,7 @@ def _build_gwnet(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
         layers=g.layers,
         dropout=g.dropout,
         order=g.order,
+        gcn_bool=g.gcn_bool,
         addaptadj=g.addaptadj,
         node_embed_dim=g.node_embed_dim,
         dtype=dtype,
@@ -67,6 +68,7 @@ def _build_dcrnn(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
         rnn_units=d.rnn_units,
         num_rnn_layers=d.num_rnn_layers,
         max_diffusion_step=d.max_diffusion_step,
+        teacher_forcing=d.teacher_forcing,
         dtype=dtype,
         name="st_gnn",
     )
@@ -93,6 +95,7 @@ class ModifiedUNet(nn.Module):
         bottleneck, skips = Contraction(
             base_channels=cfg.base_channels,
             depth=cfg.depth,
+            remat=cfg.remat,
             dtype=dtype,
             name="contraction",
         )(x, train)
@@ -132,6 +135,7 @@ class ModifiedUNet(nn.Module):
             output_channels=cfg.output_channels,
             base_channels=cfg.base_channels,
             depth=cfg.depth,
+            remat=cfg.remat,
             dtype=dtype,
             name="expansion",
         )(d, skips, train)

@@ -30,8 +30,39 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multimodal_outage_tpu.models.layers import GroupedBatchNorm
+
+
+def svd_aptinit(adj: np.ndarray, node_embed_dim: int):
+    """SVD initialization of the adaptive-adjacency node embeddings
+    (reference models/graph_wavenet.py:136-141, the randomadj=False path):
+      U, S, Vᵀ = svd(aptinit);  E1 = U[:, :d]·√S[:d];  E2 = √S[:d]·Vᵀ[:d]
+    """
+    u, s, vt = np.linalg.svd(np.asarray(adj, np.float64))
+    d = node_embed_dim
+    root = np.sqrt(s[:d])
+    init1 = (u[:, :d] * root[None, :]).astype(np.float32)
+    init2 = (root[:, None] * vt[:d, :]).astype(np.float32)
+    return init1, init2
+
+
+def install_aptinit(params, adj: np.ndarray, node_embed_dim: int):
+    """Replace random nodevec1/nodevec2 in an initialized params tree with
+    the SVD factorization of `adj` — the reference's aptinit wiring
+    (graph_wavenet.py:46 sets aptinit = supports[0] when randomadj=False).
+    No-op when the st-GNN has no adaptive adjacency."""
+    st = params.get("st_gnn", {})
+    if "nodevec1" not in st:
+        return params
+    e1, e2 = svd_aptinit(adj, node_embed_dim)
+    new_st = dict(st)
+    new_st["nodevec1"] = jnp.asarray(e1, st["nodevec1"].dtype)
+    new_st["nodevec2"] = jnp.asarray(e2, st["nodevec2"].dtype)
+    out = dict(params)
+    out["st_gnn"] = new_st
+    return out
 
 
 def nconv(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +117,8 @@ class GraphWaveNet(nn.Module):
     layers: int = 2
     dropout: float = 0.3
     order: int = 2
+    gcn_bool: bool = True  # reference graph_wavenet.py:100 — False ⇒ no
+    # graph mixing at all: residual_conv 1×1s replace the GCNs (:240-243)
     addaptadj: bool = True
     node_embed_dim: int = 10
     reference_view_quirk: bool = False
@@ -161,10 +194,13 @@ class GraphWaveNet(nn.Module):
         x = nn.Dense(self.residual_channels, dtype=self.dtype, name="start_conv")(x)
 
         # adaptive adjacency: softmax(relu(E1·E2), axis=1)
-        # (reference models/graph_wavenet.py:199-203)
+        # (reference models/graph_wavenet.py:199-203). gcn_bool=False
+        # disables ALL graph mixing (reference :128 `if gcn_bool`).
+        if not self.gcn_bool:
+            supports = None
         n_supports = supports.shape[0] if supports is not None else 0
         all_supports = None
-        if self.addaptadj:
+        if self.addaptadj and self.gcn_bool:
             nodevec1 = self.param(
                 "nodevec1", nn.initializers.normal(1.0), (n, self.node_embed_dim)
             )

@@ -24,22 +24,31 @@ from multimodal_outage_tpu.models.layers import DoubleConv, Down, Up, OutConv
 
 
 class Contraction(nn.Module):
-    """4-stage U-Net encoder → (bottleneck, skip pyramid)."""
+    """4-stage U-Net encoder → (bottleneck, skip pyramid).
+
+    remat: wrap each conv block in jax.checkpoint so the backward pass
+    recomputes its activations instead of holding them in HBM — the skip
+    pyramid (needed by Expansion regardless) becomes the only stored
+    encoder state. Param paths are unchanged (blocks keep their explicit
+    names), so checkpoints are interchangeable across the toggle."""
 
     base_channels: int = 4
     depth: int = 4
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
+        Dn = nn.remat(Down, static_argnums=(2,)) if self.remat else Down
         ch = self.base_channels
-        x = DoubleConv(ch, dtype=self.dtype, name="inc")(x, train)
+        x = DC(ch, dtype=self.dtype, name="inc")(x, train)
         skips = [x]
         for i in range(self.depth):
             ch *= 2
-            x = Down(ch, dtype=self.dtype, name=f"down{i+1}")(x, train)
+            x = Dn(ch, dtype=self.dtype, name=f"down{i+1}")(x, train)
             if i < self.depth - 1:
                 skips.append(x)
         return x, tuple(skips)
@@ -98,15 +107,18 @@ class Expansion(nn.Module):
     output_channels: int = 1
     base_channels: int = 4
     depth: int = 4
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, skips: Tuple[jnp.ndarray, ...], train: bool
     ) -> jnp.ndarray:
+        # Up.__call__(self, x, skip, train) → train is positional arg 3
+        U = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
         ch = self.base_channels * (2 ** (self.depth - 1))  # 32 at depth 4
         for i in range(self.depth):
-            x = Up(ch, dtype=self.dtype, name=f"up{i+1}")(
+            x = U(ch, dtype=self.dtype, name=f"up{i+1}")(
                 x, skips[-(i + 1)], train
             )
             ch //= 2

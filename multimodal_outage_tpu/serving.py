@@ -66,6 +66,7 @@ class ServingModel:
         use_pallas: bool = False,
         interpret: bool = False,
         gwnet_pallas: Optional[bool] = None,
+        horizon: int = 7,
     ):
         """Both fused Pallas kernels default OFF: honest (fetch-synced)
         A/Bs measure XLA faster at this model's sizes (BENCHMARKS.md).
@@ -86,13 +87,27 @@ class ServingModel:
         if gwnet_pallas is None:
             gwnet_pallas = interpret  # interpret-mode tests exercise it
         self.gwnet_pallas = gwnet_pallas
+        if cfg.st_gnn == "dcrnn":
+            from multimodal_outage_tpu.models.dcrnn import DCRNN
+
+            d = cfg.dcrnn
+            self._st_gnn = DCRNN(
+                output_dim=cfg.feature_vector_size,
+                horizon=horizon,
+                rnn_units=d.rnn_units,
+                num_rnn_layers=d.num_rnn_layers,
+                max_diffusion_step=d.max_diffusion_step,
+                dtype=jnp.dtype(cfg.compute_dtype),
+            )
+            self._jitted = jax.jit(self._forward)
+            return
         if cfg.st_gnn != "gwnet":
             raise NotImplementedError(
-                f"ServingModel supports st_gnn='gwnet' only (got "
+                f"ServingModel supports st_gnn in ('gwnet', 'dcrnn') (got "
                 f"{cfg.st_gnn!r}); use evaluate/predict for other st-GNNs"
             )
         g = cfg.gwnet
-        self._gwnet = GraphWaveNet(
+        self._st_gnn = GraphWaveNet(
             out_dim=cfg.feature_vector_size,
             residual_channels=g.residual_channels,
             dilation_channels=g.dilation_channels,
@@ -103,6 +118,7 @@ class ServingModel:
             layers=g.layers,
             dropout=g.dropout,
             order=g.order,
+            gcn_bool=g.gcn_bool,
             addaptadj=g.addaptadj,
             node_embed_dim=g.node_embed_dim,
             reference_view_quirk=g.reference_view_quirk,
@@ -160,12 +176,10 @@ class ServingModel:
         z = jnp.concatenate([z, te], axis=-1)
 
         # --- st-GNN (module apply on its own subtree, eval mode) -----------
-        z = self._gwnet.apply(
-            {"params": p["st_gnn"], "batch_stats": bs["st_gnn"]},
-            z.astype(dtype),
-            supports,
-            train=False,
-        )
+        st_vars = {"params": p["st_gnn"]}
+        if "st_gnn" in bs:  # DCRNN has no BatchNorms
+            st_vars["batch_stats"] = bs["st_gnn"]
+        z = self._st_gnn.apply(st_vars, z.astype(dtype), supports, train=False)
 
         # --- bottleneck decoder --------------------------------------------
         d = jax.nn.relu(_dense(z, p["decoder"]["fc1"]))

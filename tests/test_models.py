@@ -195,6 +195,37 @@ def test_dcrnn_shapes():
     assert out.shape == (B, N, T, 16)
 
 
+def test_dcrnn_teacher_forcing():
+    """Scheduled sampling: with ratio 1 every decoder step feeds the
+    ground-truth target; ratio 0 self-feeds (identical to no targets)."""
+    m0 = DCRNN(output_dim=16, horizon=T, rnn_units=8, num_rnn_layers=2,
+               teacher_forcing=0.0)
+    m1 = DCRNN(output_dim=16, horizon=T, rnn_units=8, num_rnn_layers=2,
+               teacher_forcing=1.0)
+    x = jax.random.normal(KEY, (B, N, T, 12))
+    targets = jax.random.normal(jax.random.PRNGKey(7), (B, N, T, 16))
+    sup = jnp.eye(N)[None]
+    variables = m0.init(KEY, x, sup, train=False)
+
+    base = m0.apply(variables, x, sup, train=True, targets=targets,
+                    rngs={"sampling": KEY})
+    # ratio 0 with targets == self-feeding without targets
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(m0.apply(variables, x, sup, train=True)),
+        atol=1e-6,
+    )
+    forced = m1.apply(variables, x, sup, train=True, targets=targets,
+                      rngs={"sampling": KEY})
+    # teacher-forced rollout diverges from self-fed after step 0 (step 0
+    # shares the GO-symbol input, later steps see different prev inputs)
+    assert not np.allclose(np.asarray(forced[:, :, 1:]),
+                           np.asarray(base[:, :, 1:]), atol=1e-4)
+    # eval mode ignores targets regardless of ratio
+    ev0 = m1.apply(variables, x, sup, train=False)
+    ev1 = m1.apply(variables, x, sup, train=False, targets=targets)
+    np.testing.assert_allclose(np.asarray(ev0), np.asarray(ev1), atol=1e-6)
+
+
 @pytest.mark.parametrize("st_gnn", ["gwnet", "dcrnn"])
 def test_fusion_forward_and_grad(st_gnn):
     cfg = ModelConfig(st_gnn=st_gnn, compute_dtype="float32")
@@ -242,3 +273,76 @@ def test_fusion_multichannel():
     )
     y = model.apply(variables, x, feats, sup, train=False)
     assert y.shape == (1, N, T, H, H, 2)
+
+
+def test_svd_aptinit():
+    """randomadj=False path: nodevecs become the SVD factorization of the
+    first support (reference graph_wavenet.py:136-141)."""
+    from multimodal_outage_tpu.models.gwnet import install_aptinit, svd_aptinit
+
+    rng = np.random.default_rng(0)
+    adj = rng.random((N, N)).astype(np.float32)
+    e1, e2 = svd_aptinit(adj, node_embed_dim=N)  # full rank at tiny N
+    np.testing.assert_allclose(e1 @ e2, adj, atol=1e-4)
+
+    params = {"st_gnn": {"nodevec1": jnp.zeros((N, N)),
+                         "nodevec2": jnp.zeros((N, N)),
+                         "other": jnp.ones((2,))},
+              "encoder": {"w": jnp.ones((2,))}}
+    out = install_aptinit(params, adj, node_embed_dim=N)
+    np.testing.assert_allclose(np.asarray(out["st_gnn"]["nodevec1"]), e1)
+    np.testing.assert_allclose(np.asarray(out["st_gnn"]["nodevec2"]), e2)
+    np.testing.assert_array_equal(np.asarray(out["st_gnn"]["other"]),
+                                  np.asarray(params["st_gnn"]["other"]))
+    # no adaptive adjacency → no-op
+    assert install_aptinit({"st_gnn": {}}, adj, 4) == {"st_gnn": {}}
+
+
+def test_remat_matches_plain_forward_and_grad():
+    """cfg.remat changes memory behavior only: identical params tree,
+    identical outputs, gradients, and batch_stats updates."""
+    cfg0 = ModelConfig(compute_dtype="float32", remat=False)
+    cfg1 = ModelConfig(compute_dtype="float32", remat=True)
+    m0 = build_model(cfg0, horizon=T)
+    m1 = build_model(cfg1, horizon=T)
+    x = jax.random.normal(KEY, (B, N, T, H, H, 1))
+    feats = jnp.zeros((B, T, 6))
+    sup = _supports(N)
+    v = m0.init({"params": KEY, "dropout": KEY}, x, feats, sup, train=False)
+    # same param paths across the toggle (checkpoint interchangeability)
+    v1 = m1.init({"params": KEY, "dropout": KEY}, x, feats, sup, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+
+    y0 = m0.apply(v, x, feats, sup, train=False)
+    y1 = m1.apply(v, x, feats, sup, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(m):
+        def f(params):
+            yhat, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, feats, sup, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(yhat**2), mut["batch_stats"]
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, bs0), g0 = loss(m0)
+    (l1, bs1), g1 = loss(m1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recomputation reorders f32 reductions (and may pick different conv
+    # backward algorithms); bitwise equality is not expected — only
+    # numerical equivalence. Wiring bugs would be O(1) off, not 1e-5.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        ),
+        g0, g1,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        bs0, bs1,
+    )

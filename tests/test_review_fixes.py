@@ -57,11 +57,14 @@ def test_d2v_bundle_wired_into_train_state(tmp_path):
     )
 
 
-def test_serving_rejects_non_gwnet():
-    """ServingModel must fail fast for unsupported st-GNNs (finding #3)."""
+def test_serving_rejects_unknown_st_gnn():
+    """ServingModel must fail fast for unsupported st-GNNs (finding #3).
+    Round 2: dcrnn is now served, so only unknown names reject."""
+    import dataclasses
+
     from multimodal_outage_tpu.serving import ServingModel
 
-    cfg = ModelConfig(st_gnn="dcrnn")
+    cfg = dataclasses.replace(ModelConfig(), st_gnn="bogus")
     with pytest.raises(NotImplementedError, match="gwnet"):
         ServingModel(cfg, {"params": {}, "batch_stats": {}}, None)
 

@@ -104,3 +104,55 @@ def test_serving_matches_flax_eval(use_pallas):
     np.testing.assert_allclose(
         np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_serving_dcrnn_matches_flax_eval():
+    """Round-2: ServingModel must serve the DCRNN st-GNN too (the round-1
+    engine rejected it outright)."""
+    cfg = ModelConfig(st_gnn="dcrnn", compute_dtype="float32")
+    model = build_model(cfg, horizon=2)
+    b, n, t, h = 1, 4, 2, 32
+    x = jax.random.normal(KEY, (b, n, t, h, h, 1))
+    feats = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (b, t, 1)
+    )
+    sup = jnp.stack([jnp.eye(n), jnp.eye(n)])  # dual random walk
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    y_flax = model.apply(variables, x, feats, sup, train=False)
+    serve = ServingModel(cfg, variables, sup, horizon=2)
+    y_serve = serve(x, feats)
+    np.testing.assert_allclose(
+        np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_serving_gwnet_gcn_bool_false():
+    """gcn_bool=False (reference graph_wavenet.py:100): no graph mixing,
+    serving still agrees with the flax eval forward."""
+    from multimodal_outage_tpu.core.config import GWNetConfig
+
+    cfg = ModelConfig(
+        compute_dtype="float32", gwnet=GWNetConfig(gcn_bool=False)
+    )
+    model = build_model(cfg, horizon=2)
+    b, n, t, h = 1, 4, 2, 16
+    x = jax.random.normal(KEY, (b, n, t, h, h, 1))
+    feats = jnp.zeros((b, t, 6))
+    sup = jnp.eye(n)[None]
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    # no adaptive adjacency and no diffusion params with gcn off
+    assert "nodevec1" not in variables["params"]["st_gnn"]
+    assert any(
+        k.startswith("residual_conv") for k in variables["params"]["st_gnn"]
+    )
+    y_flax = model.apply(variables, x, feats, sup, train=False)
+    serve = ServingModel(cfg, variables, sup)
+    y_serve = serve(x, feats)
+    np.testing.assert_allclose(
+        np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
+    )
