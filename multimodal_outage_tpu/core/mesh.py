@@ -47,6 +47,28 @@ def make_mesh(data: int = -1, model: int = 1, time: int = 1, devices=None) -> Me
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, TIME_AXIS))
 
 
+def mesh_from_config(mesh_cfg) -> Mesh | None:
+    """Build the training mesh from config (core.config.MeshConfig).
+
+    Returns None when the resolved mesh is a single device — callers then
+    take the plain single-chip path (no sharding machinery, same numerics).
+    data == -1 means "all devices not taken by model×time", so the default
+    config transparently scales to however many chips are attached."""
+    n = jax.device_count()
+    model, time = mesh_cfg.model, mesh_cfg.time
+    if mesh_cfg.data == -1:
+        if n % (model * time) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*time={model * time}"
+            )
+        data = n // (model * time)
+    else:
+        data = mesh_cfg.data
+    if data * model * time <= 1:
+        return None
+    return make_mesh(data=data, model=model, time=time)
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

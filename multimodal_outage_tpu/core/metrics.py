@@ -49,6 +49,34 @@ def regression_metrics(yhat: jnp.ndarray, y: jnp.ndarray) -> Dict[str, jnp.ndarr
     }
 
 
+def weighted_regression_metrics(
+    yhat: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """regression_metrics with per-sample weights w: [B] (1 valid, 0 pad).
+
+    Tail batches are padded to the full batch size in mesh mode so every
+    step compiles to one SPMD program shape; with w masking the pad rows,
+    each metric equals the plain mean over the valid samples' elements —
+    exactly what the reference computes on its ragged final batch
+    (reference lit.py:33-38 on DataLoader drop_last=False)."""
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    axes = tuple(range(1, y.ndim))
+    err = yhat - y
+    sq = jnp.sum(w * jnp.mean(jnp.square(err), axis=axes)) / wsum
+    return {
+        "loss": sq,
+        "mae": jnp.sum(w * jnp.mean(jnp.abs(err), axis=axes)) / wsum,
+        "mape": jnp.sum(
+            w
+            * jnp.mean(
+                jnp.abs(err) / jnp.clip(jnp.abs(y), MAPE_EPS, None), axis=axes
+            )
+        )
+        / wsum,
+        "rmse": jnp.sqrt(sq),
+    }
+
+
 class MeanAggregator:
     """Host-side running mean of per-batch metric dicts.
 

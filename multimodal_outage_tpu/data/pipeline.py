@@ -54,8 +54,7 @@ def denormalize(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
     return x * std + mean
 
 
-@partial(jax.jit, static_argnames=("horizon", "image_size"))
-def device_gather_batch(
+def _device_gather_impl(
     frames: jnp.ndarray,  # [D, N, H, W] device-resident raw frame store
     pos: jnp.ndarray,  # [B, 2·horizon] int32 frame positions
     date_feats: jnp.ndarray,  # [B, horizon, 6]
@@ -97,6 +96,11 @@ def device_gather_batch(
     }
 
 
+device_gather_batch = partial(
+    jax.jit, static_argnames=("horizon", "image_size")
+)(_device_gather_impl)
+
+
 class DevicePipeline:
     """Keeps the packed frame store resident in HBM; batches are jitted
     device gathers driven by tiny host-side index arrays.
@@ -113,9 +117,31 @@ class DevicePipeline:
         std: float,
         image_size: int,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         dtype = jnp.dtype(dtype)
-        self.frames = jax.device_put(np.asarray(store.frames, np.float32))
+        if mesh is not None:
+            # SPMD feeding: the store is replicated across the mesh and the
+            # jitted gather emits batches ALREADY sharded (B over data, T
+            # over time) — no single-device staging hop.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multimodal_outage_tpu.parallel.sharding import batch_shardings
+
+            self.frames = jax.device_put(
+                np.asarray(store.frames, np.float32), NamedSharding(mesh, P())
+            )
+            out_shard = batch_shardings(
+                mesh, {"x": None, "y": None, "date_feats": None}
+            )
+            self._gather = jax.jit(
+                _device_gather_impl,
+                static_argnames=("horizon", "image_size"),
+                out_shardings=out_shard,
+            )
+        else:
+            self.frames = jax.device_put(np.asarray(store.frames, np.float32))
+            self._gather = device_gather_batch
         self.mean = jnp.asarray(mean, dtype)
         self.std = jnp.asarray(std, dtype)
         self.image_size = image_size
@@ -123,7 +149,7 @@ class DevicePipeline:
     def batch(self, dataset, batch_idx: np.ndarray) -> Dict[str, jnp.ndarray]:
         pos = jnp.asarray(dataset.window_positions(batch_idx), jnp.int32)
         feats = jnp.asarray(dataset.window_date_feats(batch_idx))
-        return device_gather_batch(
+        return self._gather(
             self.frames,
             pos,
             feats,
@@ -157,12 +183,27 @@ class PrefetchIterator:
         self._image_size = image_size
         self._device = device
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts when close() is signalled — a consumer
+        abandoning iteration must not leave the producer blocked on a full
+        queue holding the memmap open."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce(self):
         try:
             for host_batch in self._it:
+                if self._stop.is_set():
+                    return
                 dev = {
                     k: jax.device_put(v, self._device)
                     for k, v in host_batch.items()
@@ -170,17 +211,32 @@ class PrefetchIterator:
                 batch = preprocess_batch(
                     dev, self._mean, self._std, self._image_size
                 )
-                self._q.put(batch)
+                if not self._put(batch):
+                    return
         except Exception as e:  # surface producer errors to the consumer
-            self._q.put(e)
+            self._put(e)
         finally:
-            self._q.put(None)
+            self._put(None)
+
+    def close(self) -> None:
+        """Stop the producer and release its queue slots. Idempotent;
+        called automatically when a consumer abandons iteration early."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
 
     def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            self.close()

@@ -26,6 +26,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodal_outage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
@@ -98,15 +99,91 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+    """Place a batch onto the mesh (batch dim over data, T over time).
+
+    Single-process: a resharding device_put. Multi-host (v5p pod slices
+    over DCN): each process holds only its local rows, assembled into one
+    global array via jax.make_array_from_process_local_data — the
+    SURVEY §5 'Distributed communication backend' feeding path."""
     shardings = batch_shardings(mesh, batch)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                shardings[k], np.asarray(v)
+            )
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 
-def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
+def pad_batch(
+    batch: Dict[str, Any], batch_size: int
+) -> Dict[str, Any]:
+    """Pad a (possibly ragged tail) batch to `batch_size` rows and attach
+    per-sample weights 'w' (1 valid, 0 pad).
+
+    Pad rows CYCLE the valid samples (np.resize semantics) rather than
+    zero-fill, so any train-mode batch statistics computed over pad rows
+    stay in-distribution; the weights zero the pad rows out of loss,
+    gradients, and metrics (see core.metrics.weighted_regression_metrics).
+    Keeps every SPMD step one compiled shape regardless of dataset size."""
+    b = next(iter(batch.values())).shape[0]
+    w = np.zeros((batch_size,), np.float32)
+    w[:b] = 1.0
+    if b == batch_size:
+        return {**batch, "w": w}
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        reps = -(-batch_size // b)  # ceil
+        out[k] = np.concatenate([v] * reps, axis=0)[:batch_size]
+    out["w"] = w
+    return out
+
+
+def make_sharded_eval_step(model, mesh: Mesh, state: TrainState):
+    """SPMD eval step: (params, batch_stats, batch, supports) → metrics.
+
+    Batches carry a 'w' sample-weight row (see pad_batch) so padded tail
+    batches reduce to exactly the reference's per-batch metric values."""
+    from multimodal_outage_tpu.core import metrics as M
+
+    def eval_step(params, batch_stats, batch, supports):
+        yhat = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            batch["date_feats"],
+            supports,
+            train=False,
+        )
+        return M.weighted_regression_metrics(yhat, batch["y"], batch["w"])
+
+    st_shard = state_shardings(mesh, state)
+    repl = NamedSharding(mesh, P())
+    batch_shard = batch_shardings(
+        mesh, {"x": None, "y": None, "date_feats": None, "w": None}
+    )
+    metric_shard = {k: repl for k in ("loss", "mae", "mape", "rmse")}
+    return jax.jit(
+        eval_step,
+        in_shardings=(st_shard.params, st_shard.batch_stats, batch_shard, repl),
+        out_shardings=metric_shard,
+    )
+
+
+def make_sharded_train_step(
+    model, mesh: Mesh, state: TrainState, donate=True, weighted=False
+):
     """jit-compiled SPMD train step with explicit in/out shardings.
 
     The returned step has the same signature as steps.make_train_step's:
     (state, batch, supports, lr, rng) → (state, metrics).
+
+    weighted=True: batches carry a 'w' [B] sample-weight row (pad_batch)
+    and the loss/metrics mask the pad rows — mesh-mode training then sees
+    exactly the reference's ragged-final-batch semantics
+    (DataLoader drop_last=False, reference lit.py:164) at one fixed
+    compiled shape.
     """
     from multimodal_outage_tpu.core import metrics as M
 
@@ -125,7 +202,15 @@ def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
-            return M.mse(yhat, batch["y"]), (yhat, mutated["batch_stats"])
+            if weighted:
+                w = batch["w"]
+                axes = tuple(range(1, batch["y"].ndim))
+                loss = jnp.sum(
+                    w * jnp.mean(jnp.square(yhat - batch["y"]), axis=axes)
+                ) / jnp.maximum(jnp.sum(w), 1.0)
+            else:
+                loss = M.mse(yhat, batch["y"])
+            return loss, (yhat, mutated["batch_stats"])
 
         (loss, (yhat, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -133,7 +218,12 @@ def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        metrics = M.regression_metrics(yhat, batch["y"])
+        if weighted:
+            metrics = M.weighted_regression_metrics(
+                yhat, batch["y"], batch["w"]
+            )
+        else:
+            metrics = M.regression_metrics(yhat, batch["y"])
         return (
             TrainState(
                 params=new_params,
@@ -146,9 +236,10 @@ def make_sharded_train_step(model, mesh: Mesh, state: TrainState, donate=True):
 
     st_shard = state_shardings(mesh, state)
     repl = NamedSharding(mesh, P())
-    batch_shard = batch_shardings(
-        mesh, {"x": None, "y": None, "date_feats": None}
-    )
+    batch_keys = {"x": None, "y": None, "date_feats": None}
+    if weighted:
+        batch_keys["w"] = None
+    batch_shard = batch_shardings(mesh, batch_keys)
     metric_shard = {k: repl for k in ("loss", "mae", "mape", "rmse")}
     return jax.jit(
         train_step,

@@ -22,6 +22,7 @@ import numpy as np
 from multimodal_outage_tpu.core import metrics as M
 from multimodal_outage_tpu.core.checkpoint import CheckpointManager
 from multimodal_outage_tpu.core.config import Config, asdict
+from multimodal_outage_tpu.core.mesh import DATA_AXIS, mesh_from_config
 from multimodal_outage_tpu.core.registry import leave_one_out
 from multimodal_outage_tpu.core.run_logging import RunLogger, device_memory_stats
 from multimodal_outage_tpu.data import adjacency
@@ -105,9 +106,10 @@ def prepare_datasets(
     return ds, train_idx, val_idx, test_ds
 
 
-def make_pipeline(cfg: Config, store):
+def make_pipeline(cfg: Config, store, mesh=None):
     """Choose the input path: HBM-resident device gather when the store
-    fits the budget (the TPU-native default), host prefetch otherwise."""
+    fits the budget (the TPU-native default), host prefetch otherwise.
+    With a mesh, the device pipeline emits batches already sharded."""
     from multimodal_outage_tpu.data.pipeline import DevicePipeline
 
     if cfg.data.pipeline == "host":
@@ -123,11 +125,16 @@ def make_pipeline(cfg: Config, store):
             cfg.data.std,
             cfg.data.image_size,
             dtype=_jnp.dtype(cfg.data.device_dtype),
+            mesh=mesh,
         )
     return None
 
 
-def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None):
+def _epoch_iter(
+    ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None, mesh=None
+):
+    if mesh is not None:
+        return _mesh_epoch_iter(ds, idx, cfg, shuffle, seed, device_pipe, mesh)
     if device_pipe is not None:
 
         def dev_gen():
@@ -150,13 +157,48 @@ def _epoch_iter(ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None
     )
 
 
+def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
+    """SPMD batch stream: every batch is padded to the full batch size
+    (one compiled shape), carries a 'w' sample-weight row masking the pad
+    rows (parallel.sharding.pad_batch semantics), and lands on the mesh
+    sharded B-over-data / T-over-time."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_outage_tpu.data.pipeline import preprocess_batch
+    from multimodal_outage_tpu.parallel.sharding import shard_batch
+
+    bs = cfg.train.batch_size
+    w_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    for b in batch_indices(len(idx), bs, shuffle, seed):
+        sel = idx[b]
+        w = np.ones((bs,), np.float32)
+        if len(sel) < bs:
+            w[len(sel):] = 0.0
+            sel = np.resize(sel, bs)  # cycle valid samples into pad rows
+        if device_pipe is not None:
+            batch = device_pipe.batch(ds, sel)  # already mesh-sharded
+        else:
+            host = ds.gather_batch(sel)
+            batch = preprocess_batch(
+                jax.device_put(host),
+                jnp.float32(cfg.data.mean),
+                jnp.float32(cfg.data.std),
+                cfg.data.image_size,
+            )
+            batch = shard_batch(mesh, batch)
+        batch["w"] = jax.device_put(w, w_sharding)
+        yield batch
+
+
 def evaluate(
     eval_step, state: TrainState, ds, idx, cfg: Config, supports,
-    device_pipe=None,
+    device_pipe=None, mesh=None,
 ) -> Dict[str, float]:
     """Mean of per-batch metrics (reference lit.py:100-106 reduction)."""
     agg = M.MeanAggregator()
-    for batch in _epoch_iter(ds, idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe):
+    for batch in _epoch_iter(
+        ds, idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe, mesh=mesh
+    ):
         agg.update(eval_step(state.params, state.batch_stats, batch, supports))
     return agg.compute()
 
@@ -166,13 +208,16 @@ def _metric_add(acc, m):
     return jax.tree.map(lambda a, b: a + b, acc, m)
 
 
-def _sample_batch(cfg: Config, ds, device_pipe):
-    """One batch for model/optimizer init (shapes only)."""
+def _sample_batch(cfg: Config, ds, device_pipe, n_rows: int = 1):
+    """One batch for model/optimizer init (shapes only). n_rows must be
+    the full batch size in mesh mode — the sharded gather emits batches
+    partitioned over the data axis, so B must divide evenly."""
+    idx = np.zeros(n_rows, np.int64)
     if device_pipe is not None:
-        return device_pipe.batch(ds, np.array([0]))
+        return device_pipe.batch(ds, idx)
     from multimodal_outage_tpu.data.pipeline import preprocess_batch
 
-    sample = ds.gather_batch(np.array([0]))
+    sample = ds.gather_batch(idx)
     return preprocess_batch(
         jax.device_put(sample),
         jnp.float32(cfg.data.mean),
@@ -188,6 +233,12 @@ def fit(
     progress: bool = True,
 ) -> Dict[str, float]:
     """Train with early stopping; returns final best-model metrics."""
+    # fail fast on bad flags before touching the store or any device
+    leave_one_out(test_case)
+    from multimodal_outage_tpu.core.registry import get_st_gnn
+
+    get_st_gnn(cfg.model.st_gnn)
+
     run_dir = run_dir or os.path.join(
         cfg.train.checkpoint_dir, cfg.train.job_id
     )
@@ -204,21 +255,73 @@ def fit(
         )
     supports = build_supports(cfg, ds.store.n_counties, ds.store)
     model = build_model(cfg.model, cfg.data.horizon)
-    device_pipe = make_pipeline(cfg, ds.store)
+
+    # SPMD: resolve the device mesh from config. None ⇒ single chip
+    # (identical numerics, no sharding machinery). Otherwise the trainer
+    # itself runs data/tensor/sequence-parallel (SURVEY §2 "Parallelism &
+    # communication" upgrade mandate) — not just the benchmarks.
+    mesh = mesh_from_config(cfg.mesh)
+    if mesh is not None:
+        dp = mesh.shape[DATA_AXIS]
+        sp = mesh.shape.get("time", 1)
+        if cfg.train.batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by "
+                f"mesh data axis {dp}"
+            )
+        if cfg.data.horizon % sp != 0:
+            raise ValueError(
+                f"horizon {cfg.data.horizon} not divisible by mesh time "
+                f"axis {sp}"
+            )
+        if progress:
+            print(f"SPMD mesh: {dict(mesh.shape)}")
+    device_pipe = make_pipeline(cfg, ds.store, mesh=mesh)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
-    sample_dev = _sample_batch(cfg, ds, device_pipe)
+    sample_dev = _sample_batch(
+        cfg, ds, device_pipe,
+        n_rows=cfg.train.batch_size if mesh is not None else 1,
+    )
     state = create_train_state(
         model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
     )
+    if cfg.model.st_gnn == "gwnet" and not cfg.model.gwnet.randomadj:
+        # reference randomadj=False: nodevecs start from the SVD
+        # factorization of the first static support (graph_wavenet.py:46)
+        from multimodal_outage_tpu.models.gwnet import install_aptinit
+
+        state = state.replace(
+            params=install_aptinit(
+                state.params,
+                np.asarray(supports)[0],
+                cfg.model.gwnet.node_embed_dim,
+            )
+        )
     if progress:
         print(f"Model parameters: {param_count(state.params):,}")
 
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    train_step = make_train_step(model, donate=cfg.train.donate_buffers)
-    eval_step = make_eval_step(model)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multimodal_outage_tpu.parallel.sharding import (
+            make_sharded_eval_step,
+            make_sharded_train_step,
+            shard_state,
+        )
+
+        state = shard_state(mesh, state)
+        supports = jax.device_put(supports, NamedSharding(mesh, P()))
+        train_step = make_sharded_train_step(
+            model, mesh, state, donate=cfg.train.donate_buffers, weighted=True
+        )
+        eval_step = make_sharded_eval_step(model, mesh, state)
+    else:
+        train_step = make_train_step(model, donate=cfg.train.donate_buffers)
+        eval_step = make_eval_step(model)
 
     best_val = float("inf")
     best_epoch = -1
@@ -268,7 +371,7 @@ def fit(
         metric_count = 0
         for batch in _epoch_iter(
             ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch,
-            device_pipe=device_pipe,
+            device_pipe=device_pipe, mesh=mesh,
         ):
             if (
                 cfg.train.profile_dir
@@ -312,7 +415,8 @@ def fit(
         )
 
         val_metrics = evaluate(
-            eval_step, state, ds, val_idx, cfg, supports, device_pipe
+            eval_step, state, ds, val_idx, cfg, supports, device_pipe,
+            mesh=mesh,
         )
         dt = time.time() - t0
         tiles = len(train_idx) * ds.store.n_counties * cfg.data.horizon
@@ -362,11 +466,13 @@ def fit(
         step=restored["step"],
     )
     final_val = evaluate(
-        eval_step, best_state, ds, val_idx, cfg, supports, device_pipe
+        eval_step, best_state, ds, val_idx, cfg, supports, device_pipe,
+        mesh=mesh,
     )
     test_all = np.arange(len(test_ds))
     final_test = evaluate(
-        eval_step, best_state, test_ds, test_all, cfg, supports, device_pipe
+        eval_step, best_state, test_ds, test_all, cfg, supports, device_pipe,
+        mesh=mesh,
     )
     results = {
         "best_epoch": best_epoch,
@@ -438,6 +544,7 @@ def serve_eval(
         cfg.model,
         {"params": restored["params"], "batch_stats": restored["batch_stats"]},
         supports,
+        horizon=cfg.data.horizon,
     )
     agg = M_.MeanAggregator()
     preds = []

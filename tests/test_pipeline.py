@@ -118,3 +118,22 @@ def test_prefetch_iterator_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_prefetch_iterator_abandoned_consumer_shuts_down():
+    """A consumer that stops early must not leave the producer thread
+    blocked on a full queue (round-1 review: shutdown leak)."""
+    import time
+
+    def gen():
+        for _ in range(50):
+            yield _host_batch()
+
+    it = PrefetchIterator(gen(), mean=0.0, std=1.0, image_size=16, depth=1)
+    for batch in it:
+        break  # abandon after one batch
+    it.close()
+    deadline = time.time() + 10
+    while it._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not it._thread.is_alive()
