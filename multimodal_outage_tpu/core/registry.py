@@ -17,6 +17,15 @@ HURRICANES: Dict[str, datetime.date] = {
     "idalia": datetime.date(2023, 8, 30),
 }
 
+# Risk-map "normal" baseline: the monthly composites averaged per event
+# year — pre-season months, hardcoded per year exactly as the reference
+# (reference utils.py:262-269: 2018/2022 → Jun-Aug, 2023 → Apr-Jun).
+RISK_MONTHS: Dict[int, tuple] = {
+    2018: (6, 7, 8),
+    2022: (6, 7, 8),
+    2023: (4, 5, 6),
+}
+
 
 def leave_one_out(test_case: str) -> tuple[dict, dict]:
     """Leave-one-hurricane-out protocol (reference lit.py:148-158).

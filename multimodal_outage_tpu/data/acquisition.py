@@ -24,10 +24,11 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from multimodal_outage_tpu.core.registry import HURRICANES
+from multimodal_outage_tpu.core.registry import HURRICANES, RISK_MONTHS
 from multimodal_outage_tpu.data.store import save_store
 
 _DATE_FILE_RE = re.compile(r"^(\d{4})_(\d{1,2})_(\d{1,2})\.(npy|pickle|pkl)$")
+_MONTH_FILE_RE = re.compile(r"^monthly_(\d{4})_(\d{1,2})\.npy$")
 
 
 def get_bearer_token() -> str:
@@ -207,6 +208,141 @@ def download_county_rasters(
                     ),
                     np.asarray(day.values, dtype=np.float32),
                 )
+
+
+def download_monthly_composites(
+    out_dir: str,
+    hurricanes: Dict[str, datetime.date] | None = None,
+    product_id: str = "VNP46A3",
+    variable: str = "NearNadir_Composite_Snow_Free",
+) -> None:
+    """Download per-county monthly VNP46A3 composites for the risk-map
+    baseline months (reference download_monthly_composites,
+    eda/util.py:135-165; months per year from RISK_MONTHS =
+    reference utils.py:262-269). Files land as
+    {county}/monthly_{Y}_{M}.npy for ingest_monthly_directory."""
+    token = get_bearer_token()
+    try:
+        from blackmarble.raster import bm_raster  # type: ignore
+        import geopandas as gpd  # type: ignore  # noqa: F401
+    except ImportError as e:  # pragma: no cover - network/geo deps optional
+        raise RuntimeError(
+            "blackmarblepy/geopandas are required for downloads; run this "
+            "module on a host with the acquisition extras installed"
+        ) from e
+
+    import pandas as pd  # type: ignore
+
+    hurricanes = hurricanes or HURRICANES
+    years = sorted({d.year for d in hurricanes.values()})
+    gdfs = load_florida_county_geometries()
+    for county, gdf in gdfs.items():
+        county_dir = os.path.join(out_dir, county)
+        os.makedirs(county_dir, exist_ok=True)
+        for year in years:
+            for month in RISK_MONTHS.get(year, ()):
+                first = pd.Timestamp(year=year, month=month, day=1)
+                raster = bm_raster(
+                    gdf,
+                    product_id=product_id,
+                    date_range=pd.date_range(first, first, freq="MS"),
+                    bearer=token,
+                    variable=variable,
+                )
+                comp = raster.sel(time=first.strftime("%Y-%m-%d"))[variable]
+                np.save(
+                    os.path.join(county_dir, f"monthly_{year}_{month}.npy"),
+                    np.asarray(comp.values, dtype=np.float32),
+                )
+
+
+def download_annual_composites(
+    out_dir: str,
+    years: Sequence[int],
+    product_id: str = "VNP46A4",
+    variable: str = "NearNadir_Composite_Snow_Free",
+) -> None:
+    """Annual VNP46A4 composites per county (reference eda/util.py:283-286
+    download_yearly_rasters)."""
+    token = get_bearer_token()
+    try:
+        from blackmarble.raster import bm_raster  # type: ignore
+    except ImportError as e:  # pragma: no cover - network/geo deps optional
+        raise RuntimeError(
+            "blackmarblepy/geopandas are required for downloads"
+        ) from e
+
+    import pandas as pd  # type: ignore
+
+    gdfs = load_florida_county_geometries()
+    for county, gdf in gdfs.items():
+        county_dir = os.path.join(out_dir, county)
+        os.makedirs(county_dir, exist_ok=True)
+        for year in years:
+            first = pd.Timestamp(year=year, month=1, day=1)
+            raster = bm_raster(
+                gdf,
+                product_id=product_id,
+                date_range=pd.date_range(first, first, freq="YS"),
+                bearer=token,
+                variable=variable,
+            )
+            comp = raster.sel(time=first.strftime("%Y-%m-%d"))[variable]
+            np.save(
+                os.path.join(county_dir, f"annual_{year}.npy"),
+                np.asarray(comp.values, dtype=np.float32),
+            )
+
+
+def ingest_monthly_directory(
+    raw_dir: str,
+    store_dir: str,
+    image_size: int = 128,
+    counties: Optional[Sequence[str]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Attach a {county}/monthly_{Y}_{M}.npy tree to an existing packed
+    store as the monthly sidecar (store.py monthly/monthly_months).
+
+    County order follows the store's; months kept are those present for
+    every county. Sentinels are zeroed (reference utils.py:272)."""
+    from multimodal_outage_tpu.core.config import NTL_FILL_SENTINEL
+    from multimodal_outage_tpu.data.store import load_store
+
+    store = load_store(store_dir, mmap=False)
+    counties = list(counties or store.county_names)
+
+    per_county: Dict[str, Dict[Tuple[int, int], str]] = {}
+    for c in counties:
+        cdir = os.path.join(raw_dir, c)
+        got = {}
+        if os.path.isdir(cdir):
+            for name in os.listdir(cdir):
+                m = _MONTH_FILE_RE.match(name)
+                if m:
+                    got[(int(m.group(1)), int(m.group(2)))] = os.path.join(
+                        cdir, name
+                    )
+        per_county[c] = got
+    common = sorted(
+        set.intersection(*[set(v) for v in per_county.values()])
+        if per_county
+        else set()
+    )
+    if not common:
+        raise ValueError(f"no common monthly composites in {raw_dir}")
+
+    monthly = np.zeros(
+        (len(common), len(counties), image_size, image_size), np.float32
+    )
+    for ci, c in enumerate(counties):
+        for mi, key in enumerate(common):
+            arr = np.asarray(np.load(per_county[c][key]), np.float32)
+            monthly[mi, ci] = _resize_to(arr, image_size)
+    monthly = np.where(monthly == NTL_FILL_SENTINEL, 0.0, monthly)
+    months = np.asarray(common, dtype=np.int32)
+    np.save(os.path.join(store_dir, "monthly.npy"), monthly)
+    np.save(os.path.join(store_dir, "monthly_months.npy"), months)
+    return monthly, months
 
 
 def load_florida_county_geometries():  # pragma: no cover - geo deps optional

@@ -25,16 +25,25 @@ from multimodal_outage_tpu.core.config import NTL_FILL_SENTINEL
 _NTL_FILE = "ntl.npy"
 _DATES_FILE = "dates.npy"
 _META_FILE = "meta.json"
+_MONTHLY_FILE = "monthly.npy"
+_MONTHLY_MONTHS_FILE = "monthly_months.npy"
 
 
 @dataclass
 class NTLStore:
-    """Memory-mapped packed dataset: frames [D, N, H, W], dates [D, 3]."""
+    """Memory-mapped packed dataset: frames [D, N, H, W], dates [D, 3].
+
+    Optional monthly sidecar (VNP46A3 NearNadir_Composite_Snow_Free
+    composites, the reference's risk-map 'normal' source,
+    reference utils.py:286-303): monthly [M, N, H, W] + monthly_months
+    [M, 2] (year, month)."""
 
     frames: np.ndarray  # [D, N, H, W] float32 (memmap)
     dates: np.ndarray  # [D, 3] int32 (y, m, d), strictly increasing
     county_names: List[str]
     meta: dict
+    monthly: np.ndarray | None = None  # [M, N, H, W] float32
+    monthly_months: np.ndarray | None = None  # [M, 2] int32 (y, m)
 
     @property
     def n_dates(self) -> int:
@@ -56,10 +65,14 @@ def save_store(
     county_names: Sequence[str],
     zero_sentinel: bool = True,
     extra_meta: dict | None = None,
+    monthly: np.ndarray | None = None,
+    monthly_months: np.ndarray | None = None,
 ) -> None:
     """Pack raw per-day rasters into the store layout.
 
     frames: [D, N, H, W]; dates: [D, 3] int (y, m, d) sorted ascending.
+    monthly/monthly_months: optional [M, N, H, W] + [M, 2] (y, m) monthly
+    composite sidecar (risk-map baseline); sentinel-zeroed like frames.
     """
     frames = np.ascontiguousarray(frames, dtype=np.float32)
     dates = np.ascontiguousarray(dates, dtype=np.int32)
@@ -75,6 +88,23 @@ def save_store(
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, _NTL_FILE), frames)
     np.save(os.path.join(out_dir, _DATES_FILE), dates)
+    if monthly is not None:
+        monthly = np.ascontiguousarray(monthly, dtype=np.float32)
+        monthly_months = np.ascontiguousarray(monthly_months, dtype=np.int32)
+        if monthly.ndim != 4 or monthly.shape[1] != frames.shape[1]:
+            raise ValueError(
+                f"monthly must be [M, {frames.shape[1]}, H, W], got "
+                f"{monthly.shape}"
+            )
+        if monthly_months.shape != (monthly.shape[0], 2):
+            raise ValueError(
+                f"monthly_months must be [{monthly.shape[0]}, 2], got "
+                f"{monthly_months.shape}"
+            )
+        if zero_sentinel:
+            monthly = np.where(monthly == NTL_FILL_SENTINEL, 0.0, monthly)
+        np.save(os.path.join(out_dir, _MONTHLY_FILE), monthly)
+        np.save(os.path.join(out_dir, _MONTHLY_MONTHS_FILE), monthly_months)
     meta = {
         "county_names": list(county_names),
         "shape": list(frames.shape),
@@ -91,11 +121,20 @@ def load_store(data_dir: str, mmap: bool = True) -> NTLStore:
     dates = np.load(os.path.join(data_dir, _DATES_FILE))
     with open(os.path.join(data_dir, _META_FILE)) as f:
         meta = json.load(f)
+    monthly = monthly_months = None
+    monthly_path = os.path.join(data_dir, _MONTHLY_FILE)
+    if os.path.exists(monthly_path):
+        monthly = np.load(monthly_path, mmap_mode="r" if mmap else None)
+        monthly_months = np.load(
+            os.path.join(data_dir, _MONTHLY_MONTHS_FILE)
+        ).astype(np.int32)
     return NTLStore(
         frames=frames,
         dates=dates.astype(np.int32),
         county_names=list(meta["county_names"]),
         meta=meta,
+        monthly=monthly,
+        monthly_months=monthly_months,
     )
 
 

@@ -15,7 +15,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from multimodal_outage_tpu.core.config import NTL_FILL_SENTINEL
-from multimodal_outage_tpu.core.registry import HURRICANES
+from multimodal_outage_tpu.core.registry import HURRICANES, RISK_MONTHS
 from multimodal_outage_tpu.data.store import save_store
 
 
@@ -95,6 +95,40 @@ def generate_frames(
     return frames.astype(np.float32)
 
 
+def generate_monthly_composites(
+    frames: np.ndarray,
+    dates: np.ndarray,
+    seed: int = 42,
+    hurricanes: Dict[str, datetime.date] | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic VNP46A3 monthly-composite sidecar.
+
+    One composite per (event-year, risk month) pair from the RISK_MONTHS
+    registry (the reference's hardcoded per-year lists, utils.py:262-269).
+    The pre-season months lie outside the daily window, so composites are
+    modeled as the pre-event mean brightness with small monthly variation.
+
+    Returns (monthly [M, N, H, W], monthly_months [M, 2])."""
+    hurricanes = hurricanes or HURRICANES
+    rng = np.random.default_rng(seed + 1)
+    years = sorted({int(y) for y in dates[:, 0]})
+    pairs = [
+        (y, m) for y in years if y in RISK_MONTHS for m in RISK_MONTHS[y]
+    ]
+    if not pairs:
+        pairs = [(years[0], m) for m in (6, 7, 8)]
+    clean = np.where(frames == NTL_FILL_SENTINEL, 0.0, frames)
+    baseline = clean[: min(10, len(clean))].mean(axis=0)  # [N, H, W]
+    monthly = np.stack(
+        [
+            baseline * np.float32(1.0 + 0.05 * rng.standard_normal())
+            for _ in pairs
+        ]
+    ).astype(np.float32)
+    months = np.asarray(pairs, dtype=np.int32)
+    return monthly, months
+
+
 def county_names(n: int) -> List[str]:
     if n == 67:
         from multimodal_outage_tpu.data.adjacency import load_adjacency_csv
@@ -117,11 +151,16 @@ def generate_store(
     frames = generate_frames(
         dates, n_counties, image_size, seed, hurricanes=hurricanes
     )
+    monthly, monthly_months = generate_monthly_composites(
+        frames, dates, seed, hurricanes
+    )
     save_store(
         out_dir,
         frames,
         dates,
         county_names(n_counties),
         extra_meta={"synthetic": True, "seed": seed, "margin": margin},
+        monthly=monthly,
+        monthly_months=monthly_months,
     )
     return frames, dates
