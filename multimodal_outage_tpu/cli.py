@@ -35,12 +35,50 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "--d2v_bundle", type=str, default=None,
         help=".npz Date2Vec bundle from pretrain-d2v",
     )
+    p.add_argument(
+        "--adjacency", type=str, default=None,
+        help="adjacency CSV path (default: packaged Florida asset, "
+        "reference data/graph/adj_mx_fl.csv)",
+    )
+    p.add_argument(
+        "--adjtype", type=str, default=None,
+        help="identity|transition|doubletransition (gwnet support set; "
+        "reference models/graph_wavenet.py:13-32). Default: identity, "
+        "matching the reference's degenerate doubletransition.",
+    )
+    p.add_argument(
+        "--no_gcn", action="store_true",
+        help="disable graph convolution entirely "
+        "(reference gcn_bool=False, graph_wavenet.py:100,240)",
+    )
+    p.add_argument(
+        "--no_addaptadj", action="store_true",
+        help="disable the learned adaptive adjacency (reference addaptadj)",
+    )
+    p.add_argument(
+        "--svd_aptinit", action="store_true",
+        help="SVD-init the adaptive-adjacency node embeddings from the "
+        "first static support (reference randomadj=False/aptinit path)",
+    )
+    p.add_argument(
+        "--gwnet_kernel_size", type=int, default=None,
+        help="temporal conv kernel size (reference default 1 ⇒ "
+        "receptive field 1; >1 enables the dilated causal path)",
+    )
+    p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize U-Net conv blocks in backward (jax.checkpoint):"
+        " ~⅓ more conv FLOPs for much less activation HBM — enables"
+        " batch 16+ on a single v5e chip",
+    )
 
 
 def _build_config(args):
     from multimodal_outage_tpu.core.config import (
         Config,
         DataConfig,
+        GWNetConfig,
+        MeshConfig,
         ModelConfig,
         TrainConfig,
     )
@@ -52,12 +90,25 @@ def _build_config(args):
         image_size=args.image_size,
         n_counties=args.n_counties,
     )
+    gwnet_kw = {}
+    if getattr(args, "adjtype", None):
+        gwnet_kw["adjtype"] = args.adjtype
+    if getattr(args, "no_gcn", False):
+        gwnet_kw["gcn_bool"] = False
+    if getattr(args, "no_addaptadj", False):
+        gwnet_kw["addaptadj"] = False
+    if getattr(args, "svd_aptinit", False):
+        gwnet_kw["randomadj"] = False
+    if getattr(args, "gwnet_kernel_size", None):
+        gwnet_kw["kernel_size"] = args.gwnet_kernel_size
     model = ModelConfig(
         st_gnn=args.st_gnn,
         input_channels=args.input_channels,
         output_channels=args.output_channels,
         compute_dtype=args.compute_dtype,
         d2v_bundle=getattr(args, "d2v_bundle", None),
+        remat=getattr(args, "remat", False),
+        gwnet=GWNetConfig(**gwnet_kw),
     )
     train = TrainConfig(
         epochs=getattr(args, "epochs", 5),
@@ -68,7 +119,15 @@ def _build_config(args):
         profile_dir=getattr(args, "profile_dir", None),
         debug_nans=getattr(args, "debug_nans", False),
     )
-    return Config(data=data, model=model, train=train)
+    mesh = MeshConfig(
+        data=getattr(args, "mesh_data", -1),
+        model=getattr(args, "mesh_model", 1),
+        time=getattr(args, "mesh_time", 1),
+    )
+    return Config(
+        data=data, model=model, train=train, mesh=mesh,
+        adjacency_csv=getattr(args, "adjacency", None),
+    )
 
 
 def main(argv=None) -> int:
@@ -94,13 +153,41 @@ def main(argv=None) -> int:
     p_train.add_argument(
         "--debug_nans", action="store_true", help="Enable jax_debug_nans"
     )
+    p_train.add_argument(
+        "--mesh_data", type=int, default=-1,
+        help="data-parallel mesh axis size (-1: all devices left over "
+        "after model*time; 1 with one chip ⇒ plain single-device)",
+    )
+    p_train.add_argument(
+        "--mesh_model", type=int, default=1,
+        help="tensor-parallel axis (bottleneck MLP hidden dims)",
+    )
+    p_train.add_argument(
+        "--mesh_time", type=int, default=1,
+        help="sequence-parallel axis (temporal window T)",
+    )
+    p_train.add_argument(
+        "--coordinator_address", type=str, default=None,
+        help="multi-host: jax.distributed coordinator host:port",
+    )
+    p_train.add_argument("--num_processes", type=int, default=None)
+    p_train.add_argument("--process_id", type=int, default=None)
 
     p_eval = sub.add_parser("evaluate", help="Evaluate a checkpoint")
     _add_common_model_flags(p_eval)
     p_eval.add_argument("--checkpoint_path", type=str, required=True)
     p_eval.add_argument("--case", type=str, default="idalia")
     p_eval.add_argument("--save_preds", type=str, default=None)
-    p_eval.add_argument("--risk_maps", type=str, default=None)
+    p_eval.add_argument(
+        "--risk_maps", type=str, default=None,
+        help="write percent-of-normal risk-map PNGs here (reference "
+        "visualize_risk_map, monthly-composite baseline when available)",
+    )
+    p_eval.add_argument(
+        "--raster_maps", type=str, default=None,
+        help="write prediction raster PNGs here (reference "
+        "visualize_results_raster, utils.py:194-231)",
+    )
     p_eval.add_argument(
         "--metrics_json", type=str, default=None,
         help="Write the test metrics to this JSON file",
@@ -143,6 +230,15 @@ def main(argv=None) -> int:
     p_ingest.add_argument("--out_dir", type=str, required=True)
     p_ingest.add_argument("--image_size", type=int, default=128)
 
+    p_ingest_m = sub.add_parser(
+        "ingest-monthly",
+        help="Attach {county}/monthly_Y_M.npy composites to an existing "
+        "store as the risk-map baseline sidecar",
+    )
+    p_ingest_m.add_argument("--raw_dir", type=str, required=True)
+    p_ingest_m.add_argument("--store_dir", type=str, required=True)
+    p_ingest_m.add_argument("--image_size", type=int, default=128)
+
     p_bench = sub.add_parser("bench", help="Run benchmark suite")
     p_bench.add_argument("--config", type=str, default="unet_train")
     p_bench.add_argument("--steps", type=int, default=20)
@@ -178,6 +274,13 @@ def main(argv=None) -> int:
     if args.command == "train":
         from multimodal_outage_tpu.train.loop import fit
 
+        if getattr(args, "coordinator_address", None):
+            from multimodal_outage_tpu.core.mesh import initialize_distributed
+
+            n = initialize_distributed(
+                args.coordinator_address, args.num_processes, args.process_id
+            )
+            print(f"distributed: {n} global devices")
         cfg = _build_config(args)
         for run in range(args.num_runs):
             run_cfg = cfg if args.num_runs == 1 else dataclasses.replace(
@@ -215,18 +318,45 @@ def main(argv=None) -> int:
             np.save(os.path.join(args.save_preds, "preds.npy"), preds)
             np.save(os.path.join(args.save_preds, "targets.npy"), targets)
             print(f"Saved preds and targets to {args.save_preds}")
-        if args.risk_maps:
-            from multimodal_outage_tpu.data.store import load_store
-            from multimodal_outage_tpu.viz.maps import save_risk_maps
+        if args.risk_maps or args.raster_maps:
+            import numpy as np
 
-            save_risk_maps(
-                preds,
-                load_store(cfg.data.data_dir),
-                args.risk_maps,
-                mean=cfg.data.mean,
-                std=cfg.data.std,
+            from multimodal_outage_tpu.core.registry import leave_one_out
+            from multimodal_outage_tpu.data.dataset import WindowDataset
+            from multimodal_outage_tpu.data.store import load_store
+
+            store = load_store(cfg.data.data_dir)
+            _, test_cases = leave_one_out(args.case)
+            test_ds = WindowDataset.from_case_study(
+                store, test_cases, cfg.data.dataset_range, cfg.data.horizon
             )
-            print(f"Saved risk maps to {args.risk_maps}")
+            fut_dates = test_ds.future_window_dates(np.arange(len(test_ds)))
+            if args.risk_maps:
+                from multimodal_outage_tpu.viz.maps import save_risk_maps
+
+                save_risk_maps(
+                    preds,
+                    store,
+                    args.risk_maps,
+                    mean=cfg.data.mean,
+                    std=cfg.data.std,
+                    future_dates=fut_dates,
+                )
+                print(f"Saved risk maps to {args.risk_maps}")
+            if args.raster_maps:
+                from multimodal_outage_tpu.viz.maps import (
+                    save_prediction_rasters,
+                )
+
+                save_prediction_rasters(
+                    preds,
+                    args.raster_maps,
+                    mean=cfg.data.mean,
+                    std=cfg.data.std,
+                    county_names=store.county_names,
+                    max_samples=4,
+                )
+                print(f"Saved prediction rasters to {args.raster_maps}")
         return 0
 
     if args.command == "serve":
@@ -270,6 +400,20 @@ def main(argv=None) -> int:
             args.raw_dir, args.out_dir, image_size=args.image_size
         )
         print(f"packed {args.out_dir}: frames {frames.shape}, {dates.shape[0]} dates")
+        return 0
+
+    if args.command == "ingest-monthly":
+        from multimodal_outage_tpu.data.acquisition import (
+            ingest_monthly_directory,
+        )
+
+        monthly, months = ingest_monthly_directory(
+            args.raw_dir, args.store_dir, image_size=args.image_size
+        )
+        print(
+            f"attached monthly sidecar to {args.store_dir}: "
+            f"{monthly.shape} over months {months.tolist()}"
+        )
         return 0
 
     if args.command == "bench":
