@@ -44,8 +44,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gated_diffusion_kernel(
-    x_ref,  # [1, NP, C]   one (b, t) node slice
-    a_ref,  # [S, NP, NP]  supports, transposed & padded (Aᵀ)
+    x_ref,  # [BLK, NP, C]   a block of (b, t) node slices
+    a_ref,  # [S, NP, NP]    supports, transposed & padded (Aᵀ)
     wf_ref,  # [C, Cd]
     bf_ref,  # [1, Cd]
     wg_ref,  # [C, Cd]
@@ -54,62 +54,81 @@ def _gated_diffusion_kernel(
     bs_ref,  # [1, Cs]
     wc_ref,  # [(S·order+1)·Cd, C]
     bc_ref,  # [1, C]
-    h_ref,  # out [1, NP, C]
-    s_ref,  # out [1, NP, Cs]
+    h_ref,  # out [BLK, NP, C]
+    s_ref,  # out [BLK, NP, Cs]
     *,
     order: int,
 ):
-    x = x_ref[0]  # [NP, C]
+    """One program handles BLK (b,t) positions: the gated/skip matmuls run
+    batched as a single [BLK·NP, C] MXU op (M = BLK·128 rows instead of
+    128 — round-2 rework); only the node-mixing diffusion matmuls, which
+    are inherently per-position, loop over the block. Weights are fetched
+    into VMEM registers once per program, amortized over the block."""
+    blk = x_ref.shape[0]
     cd = wf_ref.shape[1]
+    c = x_ref.shape[2]
+    np_ = x_ref.shape[1]
     s_count = a_ref.shape[0]
 
+    x2 = x_ref[:].reshape(blk * np_, c)  # leading-dim merge (lane dim intact)
     filt = jnp.tanh(
-        jnp.dot(x, wf_ref[:], preferred_element_type=jnp.float32) + bf_ref[:]
+        jnp.dot(x2, wf_ref[:], preferred_element_type=jnp.float32) + bf_ref[:]
     )
     gate = jax.nn.sigmoid(
-        jnp.dot(x, wg_ref[:], preferred_element_type=jnp.float32) + bg_ref[:]
+        jnp.dot(x2, wg_ref[:], preferred_element_type=jnp.float32) + bg_ref[:]
     )
-    g = (filt * gate).astype(x.dtype)  # [NP, Cd]
+    g2 = (filt * gate).astype(x2.dtype)  # [BLK·NP, Cd]
 
-    s_ref[0] = (
-        jnp.dot(g, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[:]
-    ).astype(s_ref.dtype)
+    s_ref[:] = (
+        jnp.dot(g2, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[:]
+    ).astype(s_ref.dtype).reshape(blk, np_, -1)
 
-    # concat(terms)·Wc ≡ Σ_j term_j · Wc[jCd:(j+1)Cd]  (static row slices)
-    h = jnp.dot(g, wc_ref[0:cd, :], preferred_element_type=jnp.float32)
-    j = 1
-    for s in range(s_count):
-        at = a_ref[s]  # [NP, NP]
-        t1 = jnp.dot(at, g, preferred_element_type=jnp.float32).astype(x.dtype)
-        h += jnp.dot(
-            t1, wc_ref[j * cd : (j + 1) * cd, :],
-            preferred_element_type=jnp.float32,
-        )
-        j += 1
-        for _ in range(2, order + 1):
-            t1 = jnp.dot(at, t1, preferred_element_type=jnp.float32).astype(
-                x.dtype
+    # order-0 term: concat(terms)·Wc ≡ Σ_j term_j · Wc[jCd:(j+1)Cd]
+    h2 = jnp.dot(g2, wc_ref[0:cd, :], preferred_element_type=jnp.float32)
+    h2 += bc_ref[:]
+    g3 = g2.reshape(blk, np_, cd)
+    h3 = h2.reshape(blk, np_, c)
+    for p in range(blk):  # node-mixing terms are per (b, t) position
+        g = g3[p]
+        h = h3[p]
+        j = 1
+        for s in range(s_count):
+            at = a_ref[s]  # [NP, NP]
+            t1 = jnp.dot(at, g, preferred_element_type=jnp.float32).astype(
+                g.dtype
             )
             h += jnp.dot(
                 t1, wc_ref[j * cd : (j + 1) * cd, :],
                 preferred_element_type=jnp.float32,
             )
             j += 1
-    h_ref[0] = (h + bc_ref[:]).astype(h_ref.dtype)
+            for _ in range(2, order + 1):
+                t1 = jnp.dot(
+                    at, t1, preferred_element_type=jnp.float32
+                ).astype(g.dtype)
+                h += jnp.dot(
+                    t1, wc_ref[j * cd : (j + 1) * cd, :],
+                    preferred_element_type=jnp.float32,
+                )
+                j += 1
+        h_ref[p] = h.astype(h_ref.dtype)
 
 
 def _forward_pallas(
-    x, supports, wf, bf, wg, bg, ws, bs, wc, bc, *, order: int, interpret: bool
+    x, supports, wf, bf, wg, bg, ws, bs, wc, bc, *, order: int,
+    interpret: bool, block: int = 8,
 ):
     """x: [B, N, T, C]; supports: [S, N, N] → (h [B,N,T,C], s [B,N,T,Cs])."""
     b, n, t, c = x.shape
     cs = ws.shape[1]
     np_ = _round_up(n, LANES)
     bt = b * t
+    blk = min(block, bt)
+    btp = _round_up(bt, blk)
 
-    # (b, t)-major node slices, lane-padded: [BT, NP, C]
+    # (b, t)-major node slices, lane-padded: [BTP, NP, C]
     xn = jnp.transpose(x, (0, 2, 1, 3)).reshape(bt, n, c)
-    xn = jnp.pad(xn, [(0, 0), (0, np_ - n), (0, 0)])
+    xn = jnp.pad(xn, [(0, btp - bt), (0, np_ - n), (0, 0)])
     # out[w] = Σ_v A[v,w]·g[v] ⇒ kernel multiplies by Aᵀ
     at = jnp.pad(
         jnp.transpose(supports, (0, 2, 1)),
@@ -119,14 +138,14 @@ def _forward_pallas(
     kernel = functools.partial(_gated_diffusion_kernel, order=order)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sliced = lambda ch: pl.BlockSpec(
-        (1, np_, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (blk, np_, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     h, s = pl.pallas_call(
         kernel,
-        grid=(bt,),
+        grid=(btp // blk,),
         out_shape=(
-            jax.ShapeDtypeStruct((bt, np_, c), x.dtype),
-            jax.ShapeDtypeStruct((bt, np_, cs), x.dtype),
+            jax.ShapeDtypeStruct((btp, np_, c), x.dtype),
+            jax.ShapeDtypeStruct((btp, np_, cs), x.dtype),
         ),
         in_specs=[sliced(c)] + [full()] * 9,
         out_specs=(sliced(c), sliced(cs)),
@@ -143,8 +162,8 @@ def _forward_pallas(
         wc.astype(x.dtype),
         bc.reshape(1, -1).astype(x.dtype),
     )
-    h = jnp.transpose(h[:, :n].reshape(b, t, n, c), (0, 2, 1, 3))
-    s = jnp.transpose(s[:, :n].reshape(b, t, n, cs), (0, 2, 1, 3))
+    h = jnp.transpose(h[:bt, :n].reshape(b, t, n, c), (0, 2, 1, 3))
+    s = jnp.transpose(s[:bt, :n].reshape(b, t, n, cs), (0, 2, 1, 3))
     return h, s
 
 

@@ -84,3 +84,27 @@ def test_gwnet_pallas_path_matches_module():
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_ref), atol=2e-5
     )
+
+
+def test_fused_blocked_grid_with_padding():
+    """bt not divisible by the (b,t) block: multi-program grid with padded
+    tail rows must still match the reference (round-2 blocked kernel)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    b, t = 3, 3  # bt=9 → blk=8, grid=2, 7 pad rows
+    x = jax.random.normal(ks[0], (b, N, t, C))
+    sup = jax.nn.softmax(jax.random.normal(ks[1], (2, N, N)), -1)
+    n_terms = 2 * ORDER + 1
+    params = (
+        jax.random.normal(ks[2], (C, CD)) * 0.3,
+        jax.random.normal(ks[3], (CD,)) * 0.1,
+        jax.random.normal(ks[4], (C, CD)) * 0.3,
+        jax.random.normal(ks[5], (CD,)) * 0.1,
+        jax.random.normal(ks[6], (CD, CS)) * 0.3,
+        jax.random.normal(ks[7], (CS,)) * 0.1,
+        jax.random.normal(ks[8], (n_terms * CD, C)) * 0.3,
+        jax.random.normal(ks[9], (C,)) * 0.1,
+    )
+    h_ref, s_ref = forward_reference(x, sup, *params, order=ORDER)
+    h, s = fused_gwnet_layer(x, sup, *params, ORDER, True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=2e-5)
