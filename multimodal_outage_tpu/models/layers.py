@@ -28,14 +28,20 @@ class GroupedBatchNorm(nn.Module):
     the reference's per-call behavior exactly.
 
     Running statistics follow torch's EMA (momentum 0.1, unbiased batch
-    variance) with group batch-stats averaged across groups — a parallel
-    approximation of the reference's serial per-county EMA; eval-mode
-    parity only depends on imported running stats.
+    variance). serial_ema=True (default) reproduces the reference's
+    SERIAL per-group update exactly, without serializing: applying
+    r ← (1−m)·r + m·s_k for groups k = 0..G−1 in order telescopes to the
+    closed form r ← (1−m)^G·r + Σ_k m·(1−m)^(G−1−k)·s_k — one weighted
+    reduction over the group axes (flattened C-order = the reference's
+    batch-outer/county-inner loop order, models/unet.py:221,110). Note
+    the reference semantics weight late-alphabet counties exponentially
+    more; serial_ema=False gives the uniform group-mean EMA instead.
     """
 
     num_group_axes: int
     momentum: float = 0.1
     eps: float = 1e-5
+    serial_ema: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,11 +71,26 @@ class GroupedBatchNorm(nn.Module):
                 m = math.prod(x.shape[a] for a in reduce_axes)
                 unbiased = var * (m / max(m - 1, 1))
                 group_axes = tuple(range(self.num_group_axes))
-                batch_mean = jnp.mean(mean, axis=group_axes).reshape(c)
-                batch_var = jnp.mean(unbiased, axis=group_axes).reshape(c)
                 mom = self.momentum
-                ra_mean.value = (1 - mom) * ra_mean.value + mom * batch_mean
-                ra_var.value = (1 - mom) * ra_var.value + mom * batch_var
+                if self.serial_ema:
+                    g = math.prod(x.shape[a] for a in group_axes)
+                    s_mean = mean.reshape(g, c)
+                    s_var = unbiased.reshape(g, c)
+                    # w_k = m·(1−m)^(G−1−k); decay·r + w @ s == the serial
+                    # per-group torch update applied G times in order
+                    w = mom * (1 - mom) ** jnp.arange(
+                        g - 1, -1, -1, dtype=jnp.float32
+                    )
+                    decay = (1 - mom) ** g
+                    ra_mean.value = decay * ra_mean.value + w @ s_mean
+                    ra_var.value = decay * ra_var.value + w @ s_var
+                else:
+                    batch_mean = jnp.mean(mean, axis=group_axes).reshape(c)
+                    batch_var = jnp.mean(unbiased, axis=group_axes).reshape(c)
+                    ra_mean.value = (
+                        (1 - mom) * ra_mean.value + mom * batch_mean
+                    )
+                    ra_var.value = (1 - mom) * ra_var.value + mom * batch_var
         else:
             mean = ra_mean.value
             var = ra_var.value

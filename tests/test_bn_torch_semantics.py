@@ -94,16 +94,65 @@ def test_eval_mode_matches_torch():
     np.testing.assert_allclose(np.asarray(out), torch_out, atol=2e-5)
 
 
-def test_running_stats_update_is_group_mean_of_torch_updates():
-    """Our parallel EMA update uses the group-mean of per-county batch
-    stats — equal to torch's serial EMA only at identical stats; this test
-    pins the documented approximation (layers.py docstring) by checking
-    the exact update formula."""
+def test_running_stats_match_torch_serial_ema_exactly():
+    """serial_ema (default): the closed-form update must track torch's
+    serial per-county EMA — the reference's running-stat trajectory —
+    over multiple training sweeps, not just one step."""
     rng = np.random.default_rng(2)
+    n, t, h, w, c = 7, 3, 6, 6, 2
+    scale = np.ones(c, np.float32)
+    bias = np.zeros(c, np.float32)
+
+    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1)
+    bn = torch.nn.BatchNorm2d(c, momentum=0.1)
+    bn.train()
+
+    variables = None
+    for sweep in range(3):
+        x = (
+            rng.normal(size=(n, t, h, w, c)).astype(np.float32)
+            * (1 + sweep)
+            + sweep  # distinct per-sweep distributions
+        )
+        for county in range(n):  # torch: serial county loop
+            with torch.no_grad():
+                bn(torch.from_numpy(x[county]).permute(0, 3, 1, 2))
+        if variables is None:
+            variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+            variables = {
+                "params": {
+                    "scale": jnp.asarray(scale), "bias": jnp.asarray(bias)
+                },
+                "batch_stats": variables["batch_stats"],
+            }
+        _, mutated = m.apply(
+            variables, jnp.asarray(x), train=True, mutable=["batch_stats"]
+        )
+        variables = {
+            "params": variables["params"],
+            "batch_stats": mutated["batch_stats"],
+        }
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        bn.running_mean.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        bn.running_var.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_running_stats_group_mean_option():
+    """serial_ema=False: uniform group-mean EMA (one torch-style update
+    with the mean of per-county batch stats)."""
+    rng = np.random.default_rng(3)
     n, t, h, w, c = 4, 3, 6, 6, 2
     x = rng.normal(size=(n, t, h, w, c)).astype(np.float32)
 
-    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1)
+    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1, serial_ema=False)
     variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
     _, mutated = m.apply(
         variables, jnp.asarray(x), train=True, mutable=["batch_stats"]

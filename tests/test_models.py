@@ -67,10 +67,14 @@ def test_grouped_batchnorm_eval_uses_running_stats():
     # initial running stats: mean 0, var 1 ⇒ eval output == input (scale=1)
     y = m.apply({"params": variables["params"], "batch_stats": bs}, x, train=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
-    # running stats move toward batch stats after a train step
+    # running stats follow the serial per-group EMA (torch loop order):
+    # r' = 0.9^G·0 + Σ_k 0.1·0.9^(G−1−k)·mean_k
     _, mutated = m.apply(variables, x, train=True, mutable=["batch_stats"])
     new_mean = np.asarray(mutated["batch_stats"]["mean"])
-    assert np.all(np.abs(new_mean - 0.1 * np.asarray(x).mean((0, 1))) < 0.05)
+    means_k = np.asarray(x).mean(axis=1)  # [G, C]
+    g = means_k.shape[0]
+    w = 0.1 * 0.9 ** np.arange(g - 1, -1, -1, dtype=np.float32)
+    np.testing.assert_allclose(new_mean, w @ means_k, atol=1e-5)
 
 
 def test_contraction_shapes_and_skips():
@@ -298,6 +302,7 @@ def test_svd_aptinit():
     assert install_aptinit({"st_gnn": {}}, adj, 4) == {"st_gnn": {}}
 
 
+@pytest.mark.slow
 def test_remat_matches_plain_forward_and_grad():
     """cfg.remat changes memory behavior only: identical params tree,
     identical outputs, gradients, and batch_stats updates."""
