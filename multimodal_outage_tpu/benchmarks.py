@@ -435,6 +435,93 @@ def bench_gwnet_forecast(steps=30) -> Dict:
     }
 
 
+def bench_gwnet_stack(steps=50) -> Dict:
+    """Whole-stack fused gwnet kernel vs the XLA module, eval mode —
+    the op-latency-bound case per-layer fusion cannot win
+    (BENCHMARKS.md): one Pallas program holding the entire serial chain.
+
+    Reports interleaved dispatch-inclusive latency AND chained-
+    composition device compute (REPS serially-dependent forwards inside
+    one jit) for B=1 and B=16."""
+    from multimodal_outage_tpu.models.gwnet import GraphWaveNet
+    from multimodal_outage_tpu.ops.gwnet_stack_pallas import (
+        adaptive_supports,
+        gwnet_stack_forward,
+        stack_params_from_module,
+    )
+
+    n, t, c_in = 67, 12, 320
+    sup = jnp.eye(n)[None]
+    interpret = jax.default_backend() != "tpu"
+    detail = {}
+    reps = 20
+    for b in (1, 16):
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, n, t, c_in))
+        m = GraphWaveNet(out_dim=256)
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            x, sup, train=False,
+        )
+        p = variables["params"]
+        sp = stack_params_from_module(
+            p, variables["batch_stats"], n_layers=m.blocks * m.layers
+        )
+        all_sup = adaptive_supports(sup, p.get("nodevec1"), p.get("nodevec2"))
+
+        xla_fwd = jax.jit(lambda v, x, s: m.apply(v, x, s, train=False))
+        stack_fwd = jax.jit(
+            lambda x, a, sp: gwnet_stack_forward(
+                x, a, sp, order=m.order, interpret=interpret
+            )
+        )
+        fns = {
+            "xla": lambda: xla_fwd(variables, x, sup),
+            "stack": lambda: stack_fwd(x, all_sup, sp),
+        }
+        res = _interleaved_ab(fns, steps)
+        for name, sec in res.items():
+            detail[f"b{b}_{name}_ms"] = round(sec * 1e3, 3)
+
+        # chained composition: REPS dependent forwards in ONE program
+        def chain(fwd_core, x0):
+            def body(i, acc):
+                y = fwd_core(acc)
+                return jnp.pad(
+                    y, [(0, 0)] * 3 + [(0, c_in - y.shape[-1])]
+                )
+            return jax.lax.fori_loop(0, reps, body, x0)
+
+        xla_chain = jax.jit(
+            lambda v, x0, s: chain(
+                lambda a: m.apply(v, a[..., :c_in] * 0 + x, s, train=False),
+                x0,
+            )
+        )
+        stack_chain = jax.jit(
+            lambda x0, a, sp: chain(
+                lambda acc: gwnet_stack_forward(
+                    acc[..., :c_in] * 0 + x, a, sp,
+                    order=m.order, interpret=interpret,
+                ),
+                x0,
+            )
+        )
+        fns_c = {
+            "xla": lambda: xla_chain(variables, jnp.zeros_like(x), sup),
+            "stack": lambda: stack_chain(jnp.zeros_like(x), all_sup, sp),
+        }
+        res_c = _interleaved_ab(fns_c, max(steps // 10, 3))
+        for name, sec in res_c.items():
+            detail[f"b{b}_{name}_device_us"] = round(sec / reps * 1e6, 1)
+    return {
+        "metric": "gwnet_stack_forecast_latency",
+        "value": detail.get("b1_stack_ms"),
+        "unit": "ms (amortized, B=1, whole-stack kernel)",
+        "vs_baseline": None,
+        "detail": detail,
+    }
+
+
 def bench_fusion_inference(steps=20) -> Dict:
     """Full fusion forward latency, B=1, 67 counties, horizon 7."""
     model_cfg = ModelConfig(compute_dtype="bfloat16")
@@ -479,15 +566,17 @@ def bench_serving(steps=20) -> Dict:
     )
 
     flax_fwd = jax.jit(lambda v, x, f, s: model.apply(v, x, f, s, train=False))
-    sec_flax = _timed_window(
-        lambda: flax_fwd(variables, batch["x"], batch["date_feats"], supports),
+    serve = ServingModel(model_cfg, variables, supports)
+    res = _interleaved_ab(
+        {
+            "flax": lambda: flax_fwd(
+                variables, batch["x"], batch["date_feats"], supports
+            ),
+            "serve": lambda: serve(batch["x"], batch["date_feats"]),
+        },
         steps,
     )
-
-    serve = ServingModel(model_cfg, variables, supports)
-    sec_serve = _timed_window(
-        lambda: serve(batch["x"], batch["date_feats"]), steps
-    )
+    sec_flax, sec_serve = res["flax"], res["serve"]
 
     big = _device_batch(16, 67, t, 128)
     sec_big = _timed_window(
@@ -581,6 +670,7 @@ _BENCHMARKS = {
     "fusion_inference": bench_fusion_inference,
     "unet_cpu_b4": bench_unet_cpu_b4,
     "gwnet_forecast": bench_gwnet_forecast,
+    "gwnet_stack": bench_gwnet_stack,
     "fused_stack": bench_fused_stack,
     "multimodal_fusion": bench_multimodal_fusion,
     "sharded_pipeline": bench_sharded_pipeline,

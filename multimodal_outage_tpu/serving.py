@@ -67,11 +67,15 @@ class ServingModel:
         interpret: bool = False,
         gwnet_pallas: Optional[bool] = None,
         horizon: int = 7,
+        gwnet_stack: Optional[bool] = None,
     ):
-        """Both fused Pallas kernels default OFF: honest (fetch-synced)
-        A/Bs measure XLA faster at this model's sizes (BENCHMARKS.md).
-        use_pallas toggles the fused DoubleConv kernel; gwnet_pallas the
-        fused gated-TCN+GCN kernel — both stay available and tested."""
+        """Pallas kernel policy, set by measured A/Bs (BENCHMARKS.md):
+        the whole-stack fused gwnet kernel (ops/gwnet_stack_pallas.py)
+        defaults ON on TPU — it beats the XLA module 2.4× on B=1 forecast
+        latency by collapsing the op-latency-bound serial chain into one
+        program. The per-layer kernels (use_pallas for DoubleConv,
+        gwnet_pallas for single gwnet layers) default OFF — XLA ties or
+        wins at this model's sizes; they stay available and tested."""
         import jax as _jax
 
         self.cfg = cfg
@@ -107,6 +111,42 @@ class ServingModel:
                 f"{cfg.st_gnn!r}); use evaluate/predict for other st-GNNs"
             )
         g = cfg.gwnet
+        if gwnet_stack is None:
+            # auto: on when the fused-path preconditions hold and we are
+            # on TPU (or interpreting, so CPU tests exercise the kernel)
+            gwnet_stack = (
+                (jax.default_backend() == "tpu" or interpret)
+                and g.kernel_size == 1
+                and g.gcn_bool
+                and (supports is not None or g.addaptadj)
+                and not g.reference_view_quirk
+            )
+        self.gwnet_stack = gwnet_stack
+        self._stack_sp = None
+        self._stack_supports = None
+        if gwnet_stack:
+            from multimodal_outage_tpu.ops.gwnet_stack_pallas import (
+                adaptive_supports,
+                stack_params_from_module,
+            )
+
+            p_st = variables["params"]["st_gnn"]
+            bs_st = variables["batch_stats"]["st_gnn"]
+            # fold BN + stack weights + bake the adaptive adjacency ONCE
+            # at engine build (it depends only on params)
+            self._stack_sp = _jax.device_put(
+                stack_params_from_module(
+                    p_st, bs_st, n_layers=g.blocks * g.layers
+                )
+            )
+            self._stack_supports = _jax.device_put(
+                adaptive_supports(
+                    supports,
+                    p_st.get("nodevec1") if g.addaptadj else None,
+                    p_st.get("nodevec2") if g.addaptadj else None,
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                )
+            )
         self._st_gnn = GraphWaveNet(
             out_dim=cfg.feature_vector_size,
             residual_channels=g.residual_channels,
@@ -139,7 +179,10 @@ class ServingModel:
             return fused_double_conv(x, *args, self.interpret)
         return double_conv_reference(x, *args)
 
-    def _forward(self, params, batch_stats, x, date_feats, supports):
+    def _forward(
+        self, params, batch_stats, x, date_feats, supports,
+        stack_sp=None, stack_supports=None,
+    ):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         b, n, t, hh, ww, c_in = x.shape
@@ -175,11 +218,26 @@ class ServingModel:
         te = jnp.broadcast_to(te[:, None], (b, n, t, te.shape[-1]))
         z = jnp.concatenate([z, te], axis=-1)
 
-        # --- st-GNN (module apply on its own subtree, eval mode) -----------
-        st_vars = {"params": p["st_gnn"]}
-        if "st_gnn" in bs:  # DCRNN has no BatchNorms
-            st_vars["batch_stats"] = bs["st_gnn"]
-        z = self._st_gnn.apply(st_vars, z.astype(dtype), supports, train=False)
+        # --- st-GNN (eval mode) --------------------------------------------
+        if stack_sp is not None:
+            from multimodal_outage_tpu.ops.gwnet_stack_pallas import (
+                gwnet_stack_forward,
+            )
+
+            z = gwnet_stack_forward(
+                z.astype(dtype),
+                stack_supports,
+                stack_sp,
+                order=self.cfg.gwnet.order,
+                interpret=self.interpret,
+            )
+        else:
+            st_vars = {"params": p["st_gnn"]}
+            if "st_gnn" in bs:  # DCRNN has no BatchNorms
+                st_vars["batch_stats"] = bs["st_gnn"]
+            z = self._st_gnn.apply(
+                st_vars, z.astype(dtype), supports, train=False
+            )
 
         # --- bottleneck decoder --------------------------------------------
         d = jax.nn.relu(_dense(z, p["decoder"]["fc1"]))
@@ -222,6 +280,10 @@ class ServingModel:
         return y.reshape(b, n, t, hh, ww, -1).astype(jnp.float32)
 
     def __call__(self, x, date_feats):
+        # folded stack weights travel as jit ARGUMENTS, never closure
+        # constants (embedded device constants degrade dispatch)
         return self._jitted(
-            self.params, self.batch_stats, x, date_feats, self.supports
+            self.params, self.batch_stats, x, date_feats, self.supports,
+            getattr(self, "_stack_sp", None),
+            getattr(self, "_stack_supports", None),
         )

@@ -156,3 +156,26 @@ def test_serving_gwnet_gcn_bool_false():
     np.testing.assert_allclose(
         np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
     )
+
+
+def test_serving_gwnet_stack_matches_flax_eval():
+    """Whole-stack fused gwnet kernel (interpret mode): the serving
+    engine's default-on TPU path must agree with the flax eval forward."""
+    cfg = ModelConfig(compute_dtype="float32")
+    model = build_model(cfg, horizon=2)
+    b, n, t, h = 1, 4, 2, 16
+    x = jax.random.normal(KEY, (b, n, t, h, h, 1))
+    feats = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (b, t, 1)
+    )
+    sup = jnp.eye(n)[None]
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    y_flax = model.apply(variables, x, feats, sup, train=False)
+    serve = ServingModel(cfg, variables, sup, interpret=True)
+    assert serve.gwnet_stack  # interpret ⇒ auto-on, like on TPU
+    y_serve = serve(x, feats)
+    np.testing.assert_allclose(
+        np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
+    )
