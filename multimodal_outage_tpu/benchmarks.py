@@ -143,7 +143,8 @@ def _e2e_store_dir() -> str:
 
 
 def _e2e_train_seconds(
-    b: int, steps: int, donate: bool = True, remat: bool = False
+    b: int, steps: int, donate: bool = True, remat: bool = False,
+    bn_single_pass: bool = True,
 ) -> float:
     """Seconds/step of the REAL training path (HBM-resident store, device
     window gather + normalize + fused train step) at batch size b.
@@ -159,7 +160,9 @@ def _e2e_train_seconds(
         store, HURRICANES, dataset_range=15, horizon=t
     )
     n = store.n_counties
-    model_cfg = ModelConfig(compute_dtype="bfloat16", remat=remat)
+    model_cfg = ModelConfig(
+        compute_dtype="bfloat16", remat=remat, bn_single_pass=bn_single_pass
+    )
     model = build_model(model_cfg, horizon=t)
     supports = jnp.eye(n)[None]
     rng = jax.random.PRNGKey(0)
@@ -190,7 +193,8 @@ def _e2e_train_seconds(
 
 
 def _e2e_cell_subprocess(
-    b: int, steps: int, remat: bool, timeout_s: int = 900, retries: int = 2
+    b: int, steps: int, remat: bool, timeout_s: int = 900, retries: int = 2,
+    bn_single_pass: bool = True,
 ) -> float:
     """Run one e2e-train measurement in a FRESH python process.
 
@@ -215,7 +219,8 @@ def _e2e_cell_subprocess(
     code = (
         "from multimodal_outage_tpu import benchmarks as B;"
         f"B._E2E_STORE['dir'] = {_e2e_store_dir()!r};"
-        f"print('SEC', B._e2e_train_seconds({b}, {steps}, remat={remat}))"
+        f"print('SEC', B._e2e_train_seconds({b}, {steps}, remat={remat}, "
+        f"bn_single_pass={bn_single_pass}))"
     )
     env = dict(os.environ)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))

@@ -66,6 +66,12 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "receptive field 1; >1 enables the dilated causal path)",
     )
     p.add_argument(
+        "--bn_two_pass", action="store_true",
+        help="use the two-pass BatchNorm statistics (bit-closest torch"
+        " arithmetic) instead of the default single fused sweep"
+        " (+4.7%% train throughput, BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--remat", action="store_true",
         help="rematerialize U-Net conv blocks in backward (jax.checkpoint):"
         " ~⅓ more conv FLOPs for much less activation HBM — enables"
@@ -108,6 +114,7 @@ def _build_config(args):
         compute_dtype=args.compute_dtype,
         d2v_bundle=getattr(args, "d2v_bundle", None),
         remat=getattr(args, "remat", False),
+        bn_single_pass=not getattr(args, "bn_two_pass", False),
         gwnet=GWNetConfig(**gwnet_kw),
     )
     train = TrainConfig(

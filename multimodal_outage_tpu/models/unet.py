@@ -35,6 +35,7 @@ class Contraction(nn.Module):
     base_channels: int = 4
     depth: int = 4
     remat: bool = False
+    bn_single_pass: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,12 +44,15 @@ class Contraction(nn.Module):
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         Dn = nn.remat(Down, static_argnums=(2,)) if self.remat else Down
+        sp = self.bn_single_pass
         ch = self.base_channels
-        x = DC(ch, dtype=self.dtype, name="inc")(x, train)
+        x = DC(ch, dtype=self.dtype, bn_single_pass=sp, name="inc")(x, train)
         skips = [x]
         for i in range(self.depth):
             ch *= 2
-            x = Dn(ch, dtype=self.dtype, name=f"down{i+1}")(x, train)
+            x = Dn(
+                ch, dtype=self.dtype, bn_single_pass=sp, name=f"down{i+1}"
+            )(x, train)
             if i < self.depth - 1:
                 skips.append(x)
         return x, tuple(skips)
@@ -108,6 +112,7 @@ class Expansion(nn.Module):
     base_channels: int = 4
     depth: int = 4
     remat: bool = False
+    bn_single_pass: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,8 +123,9 @@ class Expansion(nn.Module):
         U = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
         ch = self.base_channels * (2 ** (self.depth - 1))  # 32 at depth 4
         for i in range(self.depth):
-            x = U(ch, dtype=self.dtype, name=f"up{i+1}")(
-                x, skips[-(i + 1)], train
-            )
+            x = U(
+                ch, dtype=self.dtype, bn_single_pass=self.bn_single_pass,
+                name=f"up{i+1}",
+            )(x, skips[-(i + 1)], train)
             ch //= 2
         return OutConv(self.output_channels, dtype=self.dtype, name="outc")(x)

@@ -169,3 +169,51 @@ def test_running_stats_group_mean_option():
     np.testing.assert_allclose(
         new_var, 0.9 * 1.0 + 0.1 * per_group_var.mean(0), atol=1e-5
     )
+
+
+def test_single_pass_stats_match_two_pass():
+    """single_pass (shifted one-sweep variance) must agree with the
+    two-pass statistics on well-conditioned data — outputs, running
+    stats, and gradients — and stay finite on a near-constant plane
+    (where the unshifted E[x²]−μ² form NaN'd)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n, t, h, w, c = 4, 3, 8, 8, 4
+    x = (rng.normal(size=(n, t, h, w, c)) * 2 + 1).astype(np.float32)
+
+    m2 = GroupedBatchNorm(num_group_axes=1, single_pass=False)
+    m1 = GroupedBatchNorm(num_group_axes=1, single_pass=True)
+    v = m2.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y2, mut2 = m2.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    y1, mut1 = m1.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5,
+                               rtol=1e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mut1["batch_stats"][k]),
+            np.asarray(mut2["batch_stats"][k]), atol=1e-5, rtol=1e-4,
+        )
+
+    def loss(m, params):
+        y, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            jnp.asarray(x), train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(y**2)
+
+    g2 = jax.grad(lambda p: loss(m2, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        ),
+        g1, g2,
+    )
+
+    # near-constant plane: finite output, clamped variance
+    xc = np.full((2, 3, 16, 16, 4), 7.25, np.float32)
+    xc += rng.normal(size=xc.shape).astype(np.float32) * 1e-4
+    yc, mutc = m1.apply(v, jnp.asarray(xc), train=True, mutable=["batch_stats"])
+    assert np.all(np.isfinite(np.asarray(yc)))
+    assert np.all(np.asarray(mutc["batch_stats"]["var"]) >= 0.0)

@@ -75,8 +75,15 @@ def test_spmd_matches_single_device_numerics(tiny_store_dir, tmp_path):
     )
     r1 = fit(cfg_1, test_case="michael", progress=False)
     r8 = fit(cfg_8, test_case="michael", progress=False)
-    np.testing.assert_allclose(r8["val_loss"], r1["val_loss"], rtol=2e-3)
-    np.testing.assert_allclose(r8["test_loss"], r1["test_loss"], rtol=2e-3)
+    # rtol accounts for reference-faithful serial-EMA BatchNorm running
+    # stats (models/layers.py): the last group's batch stats carry ~0.1
+    # EMA weight (vs 0.1/G under a uniform group mean), so layout-induced
+    # f32 reduction-order noise in per-group statistics is amplified
+    # ~G× into the eval-mode metrics. Measured dp2-vs-single drift is
+    # ~0.24%; a wiring bug (wrong data order, missed psum) shows up as
+    # tens of percent.
+    np.testing.assert_allclose(r8["val_loss"], r1["val_loss"], rtol=8e-3)
+    np.testing.assert_allclose(r8["test_loss"], r1["test_loss"], rtol=8e-3)
 
 
 @pytest.mark.slow
