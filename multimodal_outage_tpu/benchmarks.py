@@ -48,9 +48,14 @@ def _fetch(x) -> float:
     return float(jnp.ravel(x)[0])
 
 
-def _timed_window(step_fn: Callable[[], object], k: int, windows: int = 3):
-    """Median seconds-per-dispatch over `windows` runs of k chained
-    dispatches, each window closed by a host fetch on the last result."""
+def _latency_windows(
+    step_fn: Callable[[], object], k: int, windows: int = 3
+) -> list:
+    """Seconds-per-dispatch of `windows` fetch-synced runs of k chained
+    dispatches, each window closed by a host fetch on the last result
+    (the only trustworthy sync on this backend — see module docstring).
+    Callers wanting percentiles (serve --latency_stats) use the raw list;
+    _timed_window takes the median."""
     out = step_fn()  # compile + warm
     _fetch(out)
     per = []
@@ -60,7 +65,13 @@ def _timed_window(step_fn: Callable[[], object], k: int, windows: int = 3):
             out = step_fn()
         _fetch(out)
         per.append((time.perf_counter() - t0) / k)
-    return statistics.median(per)
+    return per
+
+
+def _timed_window(step_fn: Callable[[], object], k: int, windows: int = 3):
+    """Median seconds-per-dispatch over `windows` runs of k chained
+    dispatches, each window closed by a host fetch on the last result."""
+    return statistics.median(_latency_windows(step_fn, k, windows))
 
 
 def _train_throughput(
@@ -273,19 +284,20 @@ def bench_e2e_train(steps=15, b=8, remat=False) -> Dict:
     on OOM rather than crash — the driver needs ONE json line on whatever
     chip it runs."""
     tried = []
-    while True:
+    sec = None
+    while sec is None:
         try:
-            sec = _e2e_train_seconds(b, steps, remat=remat)
-            break
+            if tried:
+                # retry in a clean subprocess: the failed attempt's buffers
+                # outlive it in this process and would re-OOM the smaller b
+                sec = _e2e_cell_subprocess(b, steps, remat)
+            else:
+                sec = _e2e_train_seconds(b, steps, remat=remat)
         except BenchOOM:
             tried.append(b)
             if b <= 1:
-                raise
+                raise  # nothing fits — a real failure the driver must see
             b //= 2
-            # retry in a clean subprocess: the failed attempt's buffers
-            # outlive it in this process and would re-OOM the smaller b
-            sec = _e2e_cell_subprocess(b, steps, remat)
-            break
     tiles = b * 67 * 7
     return {
         "metric": "e2e_train_tiles_per_sec_per_chip",

@@ -246,6 +246,15 @@ def main(argv=None) -> int:
     p_ingest_m.add_argument("--store_dir", type=str, required=True)
     p_ingest_m.add_argument("--image_size", type=int, default=128)
 
+    p_gaps = sub.add_parser(
+        "download-missing",
+        help="Re-fetch only the dates each county directory is missing "
+        "(reference eda/util.py:216-234) — recovery after a partial "
+        "download run. Needs NASA_BEARER_TOKEN + acquisition extras.",
+    )
+    p_gaps.add_argument("--out_dir", type=str, required=True)
+    p_gaps.add_argument("--margin_days", type=int, default=90)
+
     p_bench = sub.add_parser("bench", help="Run benchmark suite")
     p_bench.add_argument("--config", type=str, default="unet_train")
     p_bench.add_argument("--steps", type=int, default=20)
@@ -420,6 +429,26 @@ def main(argv=None) -> int:
         print(
             f"attached monthly sidecar to {args.store_dir}: "
             f"{monthly.shape} over months {months.tolist()}"
+        )
+        return 0
+
+    if args.command == "download-missing":
+        from multimodal_outage_tpu.data.acquisition import (
+            download_missing_dates,
+        )
+
+        fetched = download_missing_dates(
+            args.out_dir, margin_days=args.margin_days
+        )
+        total = sum(len(v) for v in fetched.values())
+        print(
+            json.dumps(
+                {
+                    "counties": len(fetched),
+                    "dates_fetched": total,
+                    "per_county": {k: len(v) for k, v in fetched.items()},
+                }
+            )
         )
         return 0
 

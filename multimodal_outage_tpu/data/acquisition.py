@@ -210,6 +210,74 @@ def download_county_rasters(
                 )
 
 
+def _contiguous_runs(
+    dates: Sequence[datetime.date],
+) -> List[Tuple[datetime.date, datetime.date]]:
+    """Group sorted dates into inclusive contiguous [start, end] runs so a
+    gap re-fetch issues one bm_raster request per run, not per day."""
+    runs: List[Tuple[datetime.date, datetime.date]] = []
+    for d in sorted(dates):
+        if runs and (d - runs[-1][1]).days == 1:
+            runs[-1] = (runs[-1][0], d)
+        else:
+            runs.append((d, d))
+    return runs
+
+
+def download_missing_dates(
+    out_dir: str,
+    hurricanes: Dict[str, datetime.date] | None = None,
+    margin_days: int = 90,
+    product_id: str = "VNP46A2",
+    variable: str = "Gap_Filled_DNB_BRDF-Corrected_NTL",
+) -> Dict[str, List[datetime.date]]:
+    """Re-fetch only the dates each county directory is missing
+    (reference download_missing_dates, eda/util.py:216-234) — the recovery
+    path after a partial download_county_rasters run, instead of a full
+    re-download. Returns the per-county gap lists that were fetched."""
+    token = get_bearer_token()
+    try:
+        from blackmarble.raster import bm_raster  # type: ignore
+        import geopandas as gpd  # type: ignore  # noqa: F401
+    except ImportError as e:  # pragma: no cover - network/geo deps optional
+        raise RuntimeError(
+            "blackmarblepy/geopandas are required for downloads; run this "
+            "module on a host with the acquisition extras installed"
+        ) from e
+
+    import pandas as pd  # type: ignore
+
+    ranges = hurricane_date_ranges(hurricanes, margin_days)
+    gdfs = load_florida_county_geometries()
+    fetched: Dict[str, List[datetime.date]] = {}
+    for county, gdf in gdfs.items():
+        county_dir = os.path.join(out_dir, county)
+        os.makedirs(county_dir, exist_ok=True)
+        have = find_available_dates(county_dir)
+        gaps: List[datetime.date] = []
+        for start, end in ranges.values():
+            gaps.extend(find_missing_dates(have, start, end))
+        fetched[county] = gaps
+        for start, end in _contiguous_runs(gaps):
+            dates = pd.date_range(start, end, freq="D")
+            raster = bm_raster(
+                gdf,
+                product_id=product_id,
+                date_range=dates,
+                bearer=token,
+                variable=variable,
+            )
+            for ts in dates:
+                day = raster.sel(time=ts.strftime("%Y-%m-%d"))[variable]
+                np.save(
+                    os.path.join(
+                        county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"
+                    ),
+                    np.asarray(day.values, dtype=np.float32),
+                )
+    return fetched
+
+
 def download_monthly_composites(
     out_dir: str,
     hurricanes: Dict[str, datetime.date] | None = None,

@@ -19,9 +19,9 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
+# packaged with the wheel (pyproject [tool.setuptools.package-data])
 _ASSET = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "..",
     "assets",
     "graph",
     "adj_mx_fl.csv",

@@ -60,17 +60,6 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.c_int,
             ]
-            lib.gather_normalize_f32.restype = ctypes.c_int
-            lib.gather_normalize_f32.argtypes = [
-                ctypes.c_void_p,
-                ctypes.c_void_p,
-                ctypes.c_void_p,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_float,
-                ctypes.c_float,
-                ctypes.c_int,
-            ]
             _lib = lib
         except OSError:
             _lib = None

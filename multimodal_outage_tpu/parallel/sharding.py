@@ -99,20 +99,27 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
-    """Place a batch onto the mesh (batch dim over data, T over time).
+    """Place a LOGICALLY GLOBAL batch onto the mesh (batch dim over data,
+    T over time).
 
     Single-process: a resharding device_put. Multi-host (v5p pod slices
-    over DCN): each process holds only its local rows, assembled into one
-    global array via jax.make_array_from_process_local_data — the
-    SURVEY §5 'Distributed communication backend' feeding path."""
+    over DCN): every process passes the same global batch; each keeps only
+    its own row range (core.mesh.local_batch_slice) and the global array
+    is assembled via jax.make_array_from_process_local_data — the
+    SURVEY §5 'Distributed communication backend' feeding path
+    (exercised by tests/test_multihost.py on 2 local CPU processes)."""
     shardings = batch_shardings(mesh, batch)
     if jax.process_count() > 1:
-        return {
-            k: jax.make_array_from_process_local_data(
-                shardings[k], np.asarray(v)
+        from multimodal_outage_tpu.core.mesh import local_batch_slice
+
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            sl = local_batch_slice(v.shape[0], mesh)
+            out[k] = jax.make_array_from_process_local_data(
+                shardings[k], np.ascontiguousarray(v[sl]), v.shape
             )
-            for k, v in batch.items()
-        }
+        return out
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 

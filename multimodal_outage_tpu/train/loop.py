@@ -114,6 +114,11 @@ def make_pipeline(cfg: Config, store, mesh=None):
 
     if cfg.data.pipeline == "host":
         return None
+    if jax.process_count() > 1:
+        # multi-host: the HBM-resident store path assumes one process owns
+        # the whole mesh; feed via the host path + make_array_from_
+        # process_local_data instead (parallel.sharding.shard_batch)
+        return None
     import jax.numpy as _jnp
 
     # the store stays f32 on device (targets keep full precision)
@@ -177,7 +182,11 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
             sel = np.resize(sel, bs)  # cycle valid samples into pad rows
         if device_pipe is not None:
             batch = device_pipe.batch(ds, sel)  # already mesh-sharded
+            batch["w"] = jax.device_put(w, w_sharding)
         else:
+            # host path (and the only multi-host path): every process
+            # computes the same global batch; shard_batch keeps each
+            # process's local rows and assembles the global array
             host = ds.gather_batch(sel)
             batch = preprocess_batch(
                 jax.device_put(host),
@@ -185,8 +194,7 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
                 jnp.float32(cfg.data.std),
                 cfg.data.image_size,
             )
-            batch = shard_batch(mesh, batch)
-        batch["w"] = jax.device_put(w, w_sharding)
+            batch = shard_batch(mesh, {**batch, "w": w})
         yield batch
 
 
@@ -505,8 +513,6 @@ def serve_eval(
 
     Returns (preds, metrics, latency) — latency has p50/p90 ms per batch
     when latency_stats, else {}."""
-    import time as _time
-
     from multimodal_outage_tpu.core import metrics as M_
     from multimodal_outage_tpu.serving import ServingModel
 
@@ -548,7 +554,7 @@ def serve_eval(
     )
     agg = M_.MeanAggregator()
     preds = []
-    times = []
+    lat_batch = None
     all_idx = np.arange(len(test_ds))
     # jitted — eager op dispatch is pathologically slow on tunneled TPU
     # backends and degrades subsequent dispatches in the process
@@ -556,22 +562,34 @@ def serve_eval(
     for batch in _epoch_iter(
         test_ds, all_idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe
     ):
-        t0 = _time.perf_counter()
         yhat = serve(batch["x"], batch["date_feats"])
-        yhat.block_until_ready()
-        times.append(_time.perf_counter() - t0)
         agg.update(metrics_fn(yhat, batch["y"]))
+        if lat_batch is None:
+            lat_batch = batch  # representative full-size batch for timing
         if collect_preds:
             # full-resolution D2H pull — only when the caller wants the
             # rasters; it dwarfs the forward at slow host links
             preds.append(np.asarray(yhat))
     ckpt.close()
     latency: Dict[str, float] = {}
-    if latency_stats and times:
-        srt = sorted(times[1:] or times)  # drop the compile batch
+    if latency_stats and lat_batch is not None:
+        # Fetch-synced windows (BENCHMARKS.md timing discipline): on this
+        # backend block_until_ready can return before execution finishes,
+        # so per-batch perf_counter timings lie. Each window chains k
+        # dispatches and is closed by a host fetch of a scalar depending
+        # on the last one; p50/p90 are over the window means.
+        from multimodal_outage_tpu.benchmarks import _latency_windows
+
+        vals = sorted(
+            _latency_windows(
+                lambda: serve(lat_batch["x"], lat_batch["date_feats"]),
+                k=10,
+                windows=9,
+            )
+        )
         latency = {
-            "p50_ms": 1e3 * srt[len(srt) // 2],
-            "p90_ms": 1e3 * srt[int(0.9 * len(srt))] if len(srt) > 1 else 1e3 * srt[0],
+            "p50_ms": 1e3 * vals[len(vals) // 2],
+            "p90_ms": 1e3 * vals[min(int(0.9 * len(vals)), len(vals) - 1)],
         }
     stacked = np.concatenate(preds, axis=0) if preds else None
     return stacked, agg.compute(), latency

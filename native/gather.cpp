@@ -53,41 +53,9 @@ int gather_f32(const float* src, const std::int64_t* indices, float* dst,
   return 0;
 }
 
-// Fused gather + normalize: dst = (src[idx] - mean) / std. Saves one full
-// pass over the batch when the device-side preprocess is bypassed.
-int gather_normalize_f32(const float* src, const std::int64_t* indices,
-                         float* dst, std::int64_t n_windows,
-                         std::int64_t frame_elems, float mean, float inv_std,
-                         int n_threads) {
-  if (n_windows <= 0 || frame_elems <= 0) return 0;
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > n_windows) n_threads = static_cast<int>(n_windows);
-
-  auto worker = [&](std::int64_t begin, std::int64_t end) {
-    for (std::int64_t w = begin; w < end; ++w) {
-      const float* s = src + indices[w] * frame_elems;
-      float* d = dst + w * frame_elems;
-      for (std::int64_t i = 0; i < frame_elems; ++i) {
-        d[i] = (s[i] - mean) * inv_std;
-      }
-    }
-  };
-
-  if (n_threads == 1) {
-    worker(0, n_windows);
-    return 0;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  const std::int64_t chunk = (n_windows + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; ++t) {
-    const std::int64_t begin = t * chunk;
-    const std::int64_t end = begin + chunk < n_windows ? begin + chunk : n_windows;
-    if (begin >= end) break;
-    threads.emplace_back(worker, begin, end);
-  }
-  for (auto& th : threads) th.join();
-  return 0;
-}
+// (A fused gather+normalize variant existed here; removed — both input
+// paths normalize on device inside the XLA program, where the subtract/
+// divide fuses into the gather for free, so a host-side normalize pass
+// would only burn host CPU this machine doesn't have to spare.)
 
 }  // extern "C"

@@ -72,3 +72,21 @@ def test_ingest_empty_raises(tmp_path):
     (raw / "b").mkdir()
     with pytest.raises(ValueError, match="no common dates"):
         acq.ingest_directory(str(raw), str(tmp_path / "out"))
+
+
+def test_contiguous_runs():
+    d = datetime.date
+    runs = acq._contiguous_runs(
+        [d(2022, 9, 28), d(2022, 9, 26), d(2022, 9, 27), d(2022, 10, 2)]
+    )
+    assert runs == [
+        (d(2022, 9, 26), d(2022, 9, 28)),
+        (d(2022, 10, 2), d(2022, 10, 2)),
+    ]
+    assert acq._contiguous_runs([]) == []
+
+
+def test_download_missing_dates_requires_token(monkeypatch, tmp_path):
+    monkeypatch.delenv("NASA_BEARER_TOKEN", raising=False)
+    with pytest.raises(RuntimeError, match="NASA_BEARER_TOKEN"):
+        acq.download_missing_dates(str(tmp_path))

@@ -1,0 +1,154 @@
+"""Capture + aggregate a device profile of the e2e b=8 train step.
+
+Usage:
+  python tools/profile_step.py [--batch 8] [--steps 5] [--out /tmp/prof]
+          [--top 40] [--bn_two_pass] [--stem_pad N] [--remat_mode MODE]
+
+Captures a jax.profiler trace around `steps` full training steps of the
+REAL input path (HBM-resident window gather + normalize + fused train
+step, multimodal_outage_tpu/benchmarks.py:_e2e_train_seconds), then
+parses the xplane proto ("XLA Ops" line of the TPU device plane) and
+prints per-op and per-category exclusive device time.
+
+This is the receipts generator for the copy-stall/layout experiments
+(BENCHMARKS.md "Train-step profile"): run it before/after a candidate
+change and diff the category table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def categorize(op_name: str) -> str:
+    """Bucket an XLA op name into the BENCHMARKS.md profile categories."""
+    n = op_name.lower()
+    if n.startswith("copy") or "copy-start" in n or "copy-done" in n:
+        return "copy"
+    if "convert" in n and ("reduce" in n or "fusion" in n):
+        return "convert_reduce"
+    if "multiply_add" in n or "dot" in n or "conv" in n:
+        return "multiply_add"
+    if "reduce-window" in n or "select-and-scatter" in n or "pool" in n:
+        return "pool"
+    if "reverse" in n:
+        return "reverse"
+    if "fusion" in n or "loop" in n or "add" in n or "mul" in n:
+        return "elementwise_fusion"
+    return "other"
+
+
+def parse_xplane(profile_dir: str, top: int):
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = glob.glob(
+        os.path.join(profile_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {profile_dir}")
+    path = max(paths, key=os.path.getmtime)
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    per_op: collections.Counter = collections.Counter()
+    occurrences: collections.Counter = collections.Counter()
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                per_op[name] += ev.duration_ps / 1e9  # ps → ms
+                occurrences[name] += 1
+    return per_op, occurrences
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/prof_step")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--bn_two_pass", action="store_true")
+    ap.add_argument("--parse_only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.parse_only:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from multimodal_outage_tpu import benchmarks as B
+        from multimodal_outage_tpu.core.config import ModelConfig
+        from multimodal_outage_tpu.core.registry import HURRICANES
+        from multimodal_outage_tpu.data.dataset import WindowDataset
+        from multimodal_outage_tpu.data.pipeline import DevicePipeline
+        from multimodal_outage_tpu.data.store import load_store
+        from multimodal_outage_tpu.models.fusion import build_model
+        from multimodal_outage_tpu.train.state import create_train_state
+        from multimodal_outage_tpu.train.steps import make_train_step
+
+        t, s, b = 7, 128, args.batch
+        store = load_store(B._e2e_store_dir())
+        ds = WindowDataset.from_case_study(
+            store, HURRICANES, dataset_range=15, horizon=t
+        )
+        n = store.n_counties
+        model_cfg = ModelConfig(
+            compute_dtype="bfloat16",
+            bn_single_pass=not args.bn_two_pass,
+        )
+        model = build_model(model_cfg, horizon=t)
+        supports = jnp.eye(n)[None]
+        rng = jax.random.PRNGKey(0)
+        lr = jnp.float32(1e-3)
+        pipe = DevicePipeline(store, 3.2, 10.4, s)
+        batch0 = pipe.batch(ds, np.arange(b))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+
+        def run(state, i):
+            batch = pipe.batch(ds, (np.arange(b) + i) % (len(ds) - b))
+            return step(state, batch, supports, lr, rng)
+
+        # compile + warm outside the trace
+        state, m = run(state, 0)
+        B._fetch(m["loss"])
+        with jax.profiler.trace(args.out):
+            for i in range(1, args.steps + 1):
+                state, m = run(state, i)
+            B._fetch(m["loss"])
+        print(f"trace captured to {args.out}", file=sys.stderr)
+        n_steps = args.steps
+    else:
+        n_steps = args.steps
+
+    per_op, occ = parse_xplane(args.out, args.top)
+    total = sum(per_op.values())
+    print(f"\n== per-op device time (top {args.top}), {n_steps} steps, "
+          f"total {total:.1f} ms ({total / n_steps:.1f} ms/step) ==")
+    print(f"{'ms/step':>9} {'share':>6} {'count':>6}  op")
+    for name, ms in per_op.most_common(args.top):
+        print(f"{ms / n_steps:9.3f} {ms / total * 100:5.1f}% "
+              f"{occ[name]:6d}  {name[:110]}")
+
+    cats: collections.Counter = collections.Counter()
+    for name, ms in per_op.items():
+        cats[categorize(name)] += ms
+    print("\n== per-category ==")
+    for cat, ms in cats.most_common():
+        print(f"{ms / n_steps:9.3f} {ms / total * 100:5.1f}%  {cat}")
+
+
+if __name__ == "__main__":
+    main()
