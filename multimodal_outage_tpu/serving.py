@@ -68,17 +68,29 @@ class ServingModel:
         gwnet_pallas: Optional[bool] = None,
         horizon: int = 7,
         gwnet_stack: Optional[bool] = None,
+        dcrnn_stack: Optional[bool] = None,
     ):
         """Pallas kernel policy, set by measured A/Bs (BENCHMARKS.md):
-        the whole-stack fused gwnet kernel (ops/gwnet_stack_pallas.py)
-        defaults ON on TPU — it beats the XLA module 2.4× on B=1 forecast
-        latency by collapsing the op-latency-bound serial chain into one
-        program. The per-layer kernels (use_pallas for DoubleConv,
-        gwnet_pallas for single gwnet layers) default OFF — XLA ties or
-        wins at this model's sizes; they stay available and tested."""
+        the whole-stack fused st-GNN kernels (ops/gwnet_stack_pallas.py,
+        ops/dcrnn_stack_pallas.py) default ON on TPU — they beat the XLA
+        modules on B=1 forecast latency by collapsing the op-latency-
+        bound serial chains into one program each (gwnet 2.4×, dcrnn
+        1.14× — the DCGRU recurrence has a measured ~0.73 ms device-
+        compute floor, so the dcrnn kernel engages at B=1 only; batched
+        requests keep the XLA scan, which wins from B=16). The per-layer
+        kernels (use_pallas for DoubleConv, gwnet_pallas for single
+        gwnet layers) default OFF — XLA ties or wins at this model's
+        sizes; they stay available and tested.
+
+        The engine is immutable after construction: folded/stacked
+        kernel weights and the baked adaptive adjacency are derived from
+        `variables` ONCE here. To serve new weights, build a new
+        ServingModel — reassigning .params/.batch_stats on a live engine
+        would desynchronize them from the baked stage weights."""
         import jax as _jax
 
         self.cfg = cfg
+        self._horizon = horizon
         # Commit weights to device once — checkpoint restores hand back
         # host numpy arrays, which would otherwise re-transfer per call.
         self.params = _jax.device_put(variables["params"])
@@ -103,6 +115,30 @@ class ServingModel:
                 max_diffusion_step=d.max_diffusion_step,
                 dtype=jnp.dtype(cfg.compute_dtype),
             )
+            if dcrnn_stack is None:
+                # auto: same policy as the gwnet stack kernel — the
+                # seq2seq is op-latency-bound at serving batch sizes
+                dcrnn_stack = (
+                    jax.default_backend() == "tpu" or interpret
+                ) and supports is not None
+            self.dcrnn_stack = dcrnn_stack
+            self._stack_sp = None
+            if dcrnn_stack:
+                from multimodal_outage_tpu.ops.dcrnn_stack_pallas import (
+                    dcrnn_stack_params,
+                )
+
+                self._stack_sp = _jax.device_put(
+                    dcrnn_stack_params(
+                        variables["params"]["st_gnn"],
+                        num_rnn_layers=d.num_rnn_layers,
+                        max_diffusion_step=d.max_diffusion_step,
+                        n_supports=int(supports.shape[0]),
+                        input_dim=cfg.st_gnn_in_dim,
+                        output_dim=cfg.feature_vector_size,
+                        rnn_units=d.rnn_units,
+                    )
+                )
             self._jitted = jax.jit(self._forward)
             return
         if cfg.st_gnn != "gwnet":
@@ -219,7 +255,29 @@ class ServingModel:
         z = jnp.concatenate([z, te], axis=-1)
 
         # --- st-GNN (eval mode) --------------------------------------------
-        if stack_sp is not None:
+        # The DCRNN stack kernel engages at B=1 only (a trace-time shape
+        # branch — each batch size is its own jit trace): the measured
+        # A/B (bench dcrnn_stack, BENCHMARKS.md r3) has the kernel
+        # winning B=1 (2.28 vs 2.59 ms) but LOSING B=16 (2.52 vs
+        # 2.29 ms) — batched, XLA's scan amortizes the per-step ops over
+        # rows while the one-sample-per-program kernel cannot.
+        if stack_sp is not None and cfg.st_gnn == "dcrnn" and b == 1:
+            from multimodal_outage_tpu.ops.dcrnn_stack_pallas import (
+                dcrnn_stack_forward,
+            )
+
+            d = cfg.dcrnn
+            z = dcrnn_stack_forward(
+                z.astype(dtype),
+                supports,
+                stack_sp,
+                horizon=self._horizon,
+                num_rnn_layers=d.num_rnn_layers,
+                max_diffusion_step=d.max_diffusion_step,
+                rnn_units=d.rnn_units,
+                interpret=self.interpret,
+            )
+        elif stack_sp is not None and cfg.st_gnn == "gwnet":
             from multimodal_outage_tpu.ops.gwnet_stack_pallas import (
                 gwnet_stack_forward,
             )

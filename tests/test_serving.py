@@ -179,3 +179,40 @@ def test_serving_gwnet_stack_matches_flax_eval():
     np.testing.assert_allclose(
         np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_serving_dcrnn_stack_kernel_matches_flax_eval():
+    """Round-3: the whole-stack fused DCRNN kernel
+    (ops/dcrnn_stack_pallas.py) engaged inside the serving engine
+    (interpret mode on CPU) must reproduce the flax eval forward.
+    B=1: the kernel only engages for single-sample requests (the
+    measured policy — see ServingModel docstring); a B=2 request on the
+    same engine must route to the XLA-scan branch and still match."""
+    cfg = ModelConfig(st_gnn="dcrnn", compute_dtype="float32")
+    model = build_model(cfg, horizon=2)
+    b, n, t, h = 1, 4, 2, 32
+    x = jax.random.normal(KEY, (b, n, t, h, h, 1))
+    feats = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (b, t, 1)
+    )
+    sup = jnp.stack([jnp.eye(n), jnp.eye(n)])  # dual random walk
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats, sup, train=False
+    )
+    y_flax = model.apply(variables, x, feats, sup, train=False)
+    serve = ServingModel(cfg, variables, sup, horizon=2, interpret=True)
+    assert serve.dcrnn_stack  # the kernel path is actually engaged
+    y_serve = serve(x, feats)
+    np.testing.assert_allclose(
+        np.asarray(y_serve), np.asarray(y_flax), atol=5e-5, rtol=1e-4
+    )
+    # batched request on the SAME engine: trace-time gate routes to the
+    # XLA scan (the kernel loses from B=16, BENCHMARKS.md r3)
+    x2 = jnp.concatenate([x, x * 0.5])
+    feats2 = jnp.concatenate([feats, feats])
+    y2_flax = model.apply(variables, x2, feats2, sup, train=False)
+    y2_serve = serve(x2, feats2)
+    np.testing.assert_allclose(
+        np.asarray(y2_serve), np.asarray(y2_flax), atol=5e-5, rtol=1e-4
+    )
