@@ -155,7 +155,8 @@ def _e2e_store_dir() -> str:
 
 def _e2e_train_seconds(
     b: int, steps: int, donate: bool = True, remat: bool = False,
-    bn_single_pass: bool = True,
+    bn_single_pass: bool = True, remat_scope: str = "all",
+    pool: str = "reduce_window",
 ) -> float:
     """Seconds/step of the REAL training path (HBM-resident store, device
     window gather + normalize + fused train step) at batch size b.
@@ -172,7 +173,8 @@ def _e2e_train_seconds(
     )
     n = store.n_counties
     model_cfg = ModelConfig(
-        compute_dtype="bfloat16", remat=remat, bn_single_pass=bn_single_pass
+        compute_dtype="bfloat16", remat=remat, bn_single_pass=bn_single_pass,
+        remat_scope=remat_scope, pool=pool,
     )
     model = build_model(model_cfg, horizon=t)
     supports = jnp.eye(n)[None]
@@ -205,7 +207,8 @@ def _e2e_train_seconds(
 
 def _e2e_cell_subprocess(
     b: int, steps: int, remat: bool, timeout_s: int = 900, retries: int = 2,
-    bn_single_pass: bool = True,
+    bn_single_pass: bool = True, remat_scope: str = "all",
+    pool: str = "reduce_window", xla_flags: str = "",
 ) -> float:
     """Run one e2e-train measurement in a FRESH python process.
 
@@ -231,7 +234,8 @@ def _e2e_cell_subprocess(
         "from multimodal_outage_tpu import benchmarks as B;"
         f"B._E2E_STORE['dir'] = {_e2e_store_dir()!r};"
         f"print('SEC', B._e2e_train_seconds({b}, {steps}, remat={remat}, "
-        f"bn_single_pass={bn_single_pass}))"
+        f"bn_single_pass={bn_single_pass}, remat_scope={remat_scope!r}, "
+        f"pool={pool!r}))"
     )
     env = dict(os.environ)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
@@ -239,6 +243,8 @@ def _e2e_cell_subprocess(
     # persistent XLA compile cache: cells re-running a seen (b, remat)
     # program skip its multi-minute compile
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    if xla_flags:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + xla_flags).strip()
     for attempt in range(retries + 1):
         try:
             proc = subprocess.run(
@@ -315,10 +321,14 @@ def bench_e2e_train(steps=15, b=8, remat=False) -> Dict:
 
 
 def bench_batch_scaling(steps=10) -> Dict:
-    """e2e train throughput over the b∈{4,8,16,32} × remat{off,on} grid —
-    the headline configuration is whichever cell the hardware sustains
-    fastest per tile. Each cell runs in a fresh subprocess (OOM isolation,
-    see _e2e_cell_subprocess); OOM cells are reported as \"oom\", not
+    """e2e train throughput over the b∈{4,8,16,32} ×
+    remat{off, all, stem} grid — the headline configuration is whichever
+    cell the hardware sustains fastest per tile. remat_scope="stem"
+    (checkpoint only inc/down1/up3/up4, the activation-HBM hogs) is the
+    r3 cell aimed at the reference's default batch 16 (lit.py:213),
+    which OOMs a 16 GB v5e both plain and with all-block remat. Each
+    cell runs in a fresh subprocess (OOM isolation, see
+    _e2e_cell_subprocess); OOM cells are reported as \"oom\", not
     skipped silently."""
     import sys
 
@@ -328,14 +338,18 @@ def bench_batch_scaling(steps=10) -> Dict:
     best = (0.0, None)
     _e2e_store_dir()  # generate once; subprocesses reuse it
     first = True
-    for remat in (False, True):
+    for remat, scope, tag in (
+        (False, "all", ""),
+        (True, "all", "_remat"),
+        (True, "stem", "_stem"),
+    ):
         for b in (4, 8, 16, 32):
-            key = f"b{b}" + ("_remat" if remat else "")
+            key = f"b{b}{tag}"
             if not first:
                 _t.sleep(15)  # give the TPU tunnel a beat between clients
             first = False
             try:
-                sec = _e2e_cell_subprocess(b, steps, remat)
+                sec = _e2e_cell_subprocess(b, steps, remat, remat_scope=scope)
             except BenchOOM:
                 curve[key] = "oom"
                 print(f"[batch_scaling] {key}: oom", file=sys.stderr)
@@ -351,6 +365,184 @@ def bench_batch_scaling(steps=10) -> Dict:
         "unit": f"tiles/sec/chip (best {best[1]})",
         "vs_baseline": round(best[0] / NORTH_STAR_TILES_PER_SEC, 3),
         "detail": curve,
+    }
+
+
+def bench_xla_flag_sweep(steps=10, b=8) -> Dict:
+    """VERDICT r2 #1 lever (e): candidate xla_tpu_* flags vs the default
+    compilation, each in a fresh subprocess cell on the REAL e2e train
+    path. Scoped-VMEM limits steer how aggressively XLA fuses (more VMEM
+    per fusion = deeper fusions, fewer HBM round-trips — or spills);
+    the latency-hiding scheduler reorders for async overlap and could
+    plausibly hurt a single-chip program. Flags a given toolchain build
+    does not recognize are reported as "unsupported", not crashed on.
+    Subprocess cells are sequential (not interleaved) — compare within
+    this sweep only, against its own baseline cell."""
+    import sys
+
+    candidates = {
+        "baseline": "",
+        "vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
+        "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
+        "no_lhs": "--xla_tpu_enable_latency_hiding_scheduler=false",
+    }
+    _e2e_store_dir()
+    detail: Dict[str, object] = {}
+    for name, flags in candidates.items():
+        try:
+            sec = _e2e_cell_subprocess(b, steps, False, xla_flags=flags)
+            detail[name] = round(b * 67 * 7 / sec, 1)
+        except BenchOOM:
+            detail[name] = "oom"
+        except RuntimeError as e:
+            detail[name] = (
+                "unsupported" if "Unknown" in str(e) or "unknown" in str(e)
+                else f"failed: {str(e)[:80]}"
+            )
+        print(f"[xla_flag_sweep] {name}: {detail[name]}", file=sys.stderr)
+    numeric = {k: v for k, v in detail.items() if isinstance(v, float)}
+    best = max(numeric, key=numeric.get) if numeric else "none"
+    return {
+        "metric": "xla_flag_sweep_best_tiles_per_sec",
+        "value": numeric.get(best),
+        "unit": f"tiles/sec/chip (best {best}, subprocess cells)",
+        "vs_baseline": (
+            round(numeric[best] / numeric["baseline"], 3)
+            if "baseline" in numeric and numeric.get(best) else None
+        ),
+        "detail": detail,
+    }
+
+
+def bench_layout_matrix(steps=10, b=8) -> Dict:
+    """The r3 copy-stall experiment matrix (VERDICT r2 #1), interleaved.
+
+    The committed b=8 profile pins 57 ms/step (23.3%) in SYNC layout-
+    conversion copies; HLO forensics (tools/dump_hlo.py) locate them at
+    (a) the Expansion backward weight-grad convs re-laying the forward-
+    saved concat activations, (b) the maxpool select-and-scatter path,
+    and the 1-channel stem the profile suspected of lane-hostile layout
+    churn. This bench A/Bs the structural levers in ONE process with
+    interleaved fetch-synced windows (same-noise comparison):
+
+      base          pool=reduce_window, no remat   (the r2 headline step)
+      pool          pairwise strided-slice max-pool (lever b)
+      stem          stem-scope remat                (lever a)
+      pool_stem     both
+      stem8         input padded 1→8 zero channels (lane-friendly stem
+                    convs; measurement-only shape probe — same FLOPs
+                    up to the widened first conv)
+
+    Measured r3 (BENCHMARKS.md): base WINS — every lever loses or ties,
+    so the defaults stay at base; the bench stays as the receipts.
+
+    Each variant is the REAL e2e path (device window gather + train
+    step). donate=False so all variants' states coexist; the winning
+    combination's honest donate=True number is bench e2e_train."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+
+    t, s = 7, 128
+    store = load_store(_e2e_store_dir())
+    ds = WindowDataset.from_case_study(
+        store, HURRICANES, dataset_range=15, horizon=t
+    )
+    n = store.n_counties
+    supports = jnp.eye(n)[None]
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+    n_samples = len(ds)
+    pipe = DevicePipeline(store, 3.2, 10.4, s)
+
+    variants = {
+        "base": dict(pool="reduce_window", remat=False),
+        "pool": dict(pool="pairwise", remat=False),
+        "stem": dict(pool="reduce_window", remat=True, remat_scope="stem"),
+        "pool_stem": dict(pool="pairwise", remat=True, remat_scope="stem"),
+    }
+
+    def _pad_channels(x, c):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, c - x.shape[-1])])
+
+    fns = {}
+    for name, kw in variants.items():
+        kw = dict(kw)
+        pad_c = kw.pop("_pad_c", 0)
+        model = build_model(
+            ModelConfig(compute_dtype="bfloat16", **kw), horizon=t
+        )
+        batch0 = pipe.batch(ds, np.arange(b))
+        if pad_c:
+            batch0 = dict(batch0, x=_pad_channels(batch0["x"], pad_c))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+        holder = {"state": state, "i": 0}
+
+        def run(step=step, holder=holder, pad_c=pad_c):
+            batch = pipe.batch(
+                ds, (np.arange(b) + holder["i"]) % (n_samples - b)
+            )
+            if pad_c:
+                batch = dict(batch, x=_pad_channels(batch["x"], pad_c))
+            holder["i"] += 1
+            holder["state"], m = step(
+                holder["state"], batch, supports, lr, rng
+            )
+            return m["loss"]
+
+        fns[name] = run
+
+    res = _interleaved_ab(fns, steps)
+    tiles = b * n * t
+    detail = {
+        name: round(tiles / sec, 1) for name, sec in res.items()
+    }
+
+    # stem8 shape probe, in its own OOM-guarded pair vs base: padding the
+    # input 1→8 channels multiplies the stem input HBM ~8× (≈1 GB at
+    # b=8), so a failure here must not take down the matrix above.
+    try:
+        model8 = build_model(
+            ModelConfig(compute_dtype="bfloat16"), horizon=t
+        )
+        batch0 = pipe.batch(ds, np.arange(b))
+        batch0 = dict(batch0, x=_pad_channels(batch0["x"], 8))
+        state8 = create_train_state(model8, rng, batch0, supports)
+        step8 = make_train_step(model8, donate=False)
+        holder8 = {"state": state8, "i": 0}
+
+        def run8():
+            batch = pipe.batch(
+                ds, (np.arange(b) + holder8["i"]) % (n_samples - b)
+            )
+            batch = dict(batch, x=_pad_channels(batch["x"], 8))
+            holder8["i"] += 1
+            holder8["state"], m = step8(
+                holder8["state"], batch, supports, lr, rng
+            )
+            return m["loss"]
+
+        res8 = _interleaved_ab({"base2": fns["base"], "stem8": run8}, steps)
+        detail.update(
+            {name: round(tiles / sec, 1) for name, sec in res8.items()}
+        )
+    except Exception as e:  # RESOURCE_EXHAUSTED and kin
+        detail["stem8"] = f"failed: {type(e).__name__}"
+
+    best = max(
+        (k for k, v in detail.items() if isinstance(v, float)),
+        key=lambda k: detail[k],
+    )
+    return {
+        "metric": "layout_matrix_best_tiles_per_sec",
+        "value": detail[best],
+        "unit": f"tiles/sec/chip (best {best}, interleaved, donate=False)",
+        "vs_baseline": round(
+            detail[best] / max(detail["base"], 1e-9), 3
+        ),
+        "detail": detail,
     }
 
 
@@ -377,6 +569,86 @@ def bench_dcrnn(steps=10) -> Dict:
             **r,
             "forecast_latency_ms": round(sec * 1e3, 3),
         },
+    }
+
+
+def bench_dcrnn_stack(steps=50) -> Dict:
+    """Whole-stack fused DCRNN kernel vs the XLA scan module, eval mode —
+    the same op-latency-bound structure the gwnet stack kernel beat 2.4×
+    (BENCHMARKS.md): the full encoder+decoder seq2seq in ONE Pallas
+    program with VMEM-resident weights (ops/dcrnn_stack_pallas.py).
+
+    Reports interleaved dispatch-inclusive latency AND chained-
+    composition device compute for B=1 and B=16."""
+    from multimodal_outage_tpu.models.dcrnn import DCRNN
+    from multimodal_outage_tpu.ops.dcrnn_stack_pallas import (
+        dcrnn_stack_forward,
+        dcrnn_stack_params,
+    )
+
+    n, t, c_in, c_out = 67, 7, 320, 256
+    sup = jnp.stack([jnp.eye(n), jnp.eye(n)])  # dual-random-walk shape
+    interpret = jax.default_backend() != "tpu"
+    m = DCRNN(output_dim=c_out, horizon=t)
+    detail = {}
+    reps = 20
+    for b in (1, 16):
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, n, t, c_in))
+        variables = m.init(jax.random.PRNGKey(0), x, sup, train=False)
+        sp = dcrnn_stack_params(
+            variables["params"],
+            n_supports=int(sup.shape[0]),
+            input_dim=c_in,
+            output_dim=c_out,
+        )
+        xla_fwd = jax.jit(lambda v, x, s: m.apply(v, x, s, train=False))
+        stack_fwd = jax.jit(
+            lambda x, s, sp: dcrnn_stack_forward(
+                x, s, sp, horizon=t, interpret=interpret
+            )
+        )
+        fns = {
+            "xla": lambda: xla_fwd(variables, x, sup),
+            "stack": lambda: stack_fwd(x, sup, sp),
+        }
+        res = _interleaved_ab(fns, steps)
+        for name, sec in res.items():
+            detail[f"b{b}_{name}_ms"] = round(sec * 1e3, 3)
+
+        # chained composition: REPS dependent forwards in ONE program
+        def chain(fwd_core, x0):
+            def body(i, acc):
+                y = fwd_core(acc)
+                return jnp.pad(y, [(0, 0)] * 3 + [(0, c_in - y.shape[-1])])
+
+            return jax.lax.fori_loop(0, reps, body, x0)
+
+        xla_chain = jax.jit(
+            lambda v, x0, s: chain(
+                lambda a: m.apply(v, a * 0 + x, s, train=False), x0
+            )
+        )
+        stack_chain = jax.jit(
+            lambda x0, s, sp: chain(
+                lambda a: dcrnn_stack_forward(
+                    a * 0 + x, s, sp, horizon=t, interpret=interpret
+                ),
+                x0,
+            )
+        )
+        fns_c = {
+            "xla": lambda: xla_chain(variables, jnp.zeros_like(x), sup),
+            "stack": lambda: stack_chain(jnp.zeros_like(x), sup, sp),
+        }
+        res_c = _interleaved_ab(fns_c, max(steps // 10, 3))
+        for name, sec in res_c.items():
+            detail[f"b{b}_{name}_device_us"] = round(sec / reps * 1e6, 1)
+    return {
+        "metric": "dcrnn_stack_forecast_latency",
+        "value": detail.get("b1_stack_ms"),
+        "unit": "ms (amortized, B=1, whole-stack kernel)",
+        "vs_baseline": None,
+        "detail": detail,
     }
 
 
@@ -688,6 +960,9 @@ _BENCHMARKS = {
     "unet_cpu_b4": bench_unet_cpu_b4,
     "gwnet_forecast": bench_gwnet_forecast,
     "gwnet_stack": bench_gwnet_stack,
+    "dcrnn_stack": bench_dcrnn_stack,
+    "layout_matrix": bench_layout_matrix,
+    "xla_flag_sweep": bench_xla_flag_sweep,
     "fused_stack": bench_fused_stack,
     "multimodal_fusion": bench_multimodal_fusion,
     "sharded_pipeline": bench_sharded_pipeline,

@@ -77,6 +77,20 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         " ~⅓ more conv FLOPs for much less activation HBM — enables"
         " batch 16+ on a single v5e chip",
     )
+    p.add_argument(
+        "--remat_scope", choices=["all", "stem"], default="all",
+        help="with --remat: 'stem' checkpoints only the top-two-"
+        "resolution blocks (inc/down1/up3/up4) — cheaper than 'all' "
+        "(−24%% vs −42%% throughput at b=8) while freeing the "
+        "activations that dominate HBM; 'all' checkpoints every block",
+    )
+    p.add_argument(
+        "--pool", choices=["reduce_window", "pairwise"],
+        default="reduce_window",
+        help="2×2 max-pool lowering (reduce_window: flax nn.max_pool, "
+        "measured fastest e2e; pairwise: strided-slice maximums, "
+        "measured 23%% slower at b=8 — see BENCHMARKS.md layout matrix)",
+    )
 
 
 def _build_config(args):
@@ -95,6 +109,7 @@ def _build_config(args):
         dataset_range=args.dataset_range,
         image_size=args.image_size,
         n_counties=args.n_counties,
+        shard_store=getattr(args, "shard_store", False),
     )
     gwnet_kw = {}
     if getattr(args, "adjtype", None):
@@ -114,6 +129,8 @@ def _build_config(args):
         compute_dtype=args.compute_dtype,
         d2v_bundle=getattr(args, "d2v_bundle", None),
         remat=getattr(args, "remat", False),
+        remat_scope=getattr(args, "remat_scope", "all"),
+        pool=getattr(args, "pool", "reduce_window"),
         bn_single_pass=not getattr(args, "bn_two_pass", False),
         gwnet=GWNetConfig(**gwnet_kw),
     )
@@ -172,6 +189,11 @@ def main(argv=None) -> int:
     p_train.add_argument(
         "--mesh_time", type=int, default=1,
         help="sequence-parallel axis (temporal window T)",
+    )
+    p_train.add_argument(
+        "--shard_store", action="store_true",
+        help="partition the HBM frame store over the data mesh axis "
+        "(each chip holds D/dp frames) instead of replicating it",
     )
     p_train.add_argument(
         "--coordinator_address", type=str, default=None,

@@ -38,6 +38,12 @@ class DataConfig:
     # gather, zero host bytes/step) when it fits this budget:
     device_store_budget_mb: int = 4096
     device_dtype: str = "bfloat16"  # HBM store/batch dtype (halves memory)
+    # With a mesh: partition the HBM frame store's date dim over the data
+    # axis (each chip holds D/dp frames) instead of replicating it — the
+    # window gather becomes a sharded gather + all-reduce of the small
+    # batch. Off by default: replication skips the collective entirely
+    # and is right whenever the store comfortably fits one chip.
+    shard_store: bool = False
 
 
 @dataclass(frozen=True)
@@ -111,9 +117,19 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
     # Rematerialize U-Net conv blocks in the backward pass (jax.checkpoint):
-    # trades ~⅓ extra conv FLOPs for O(depth) less activation HBM, raising
+    # trades extra conv FLOPs for O(depth) less activation HBM, raising
     # the largest trainable batch on a chip (b=16 OOMs a v5e without it):
     remat: bool = False
+    # "all": every conv block; "stem": only the top-two-resolution blocks
+    # (inc/down1/up3/up4), whose intra-block activations dominate HBM —
+    # cheaper than all-block remat (−24% vs −42% at b=8) and the lever
+    # for batches that OOM without it (BENCHMARKS.md r3 layout matrix):
+    remat_scope: str = "all"
+    # 2×2 max-pool lowering: "reduce_window" (flax nn.max_pool; measured
+    # FASTEST e2e despite its select-and-scatter backward) or "pairwise"
+    # (strided-slice maximums; measured 23% slower at b=8 — see
+    # BENCHMARKS.md r3 layout matrix):
+    pool: str = "reduce_window"
     # Single fused sweep for train-mode BatchNorm statistics (shifted
     # E[x²]−μ² with clamp) instead of the two-pass mean-then-variance.
     # Profiling showed the BN reduction chains cost ~19% of the b=8 v5e

@@ -96,7 +96,9 @@ class ModifiedUNet(nn.Module):
             base_channels=cfg.base_channels,
             depth=cfg.depth,
             remat=cfg.remat,
+            remat_scope=cfg.remat_scope,
             bn_single_pass=cfg.bn_single_pass,
+            pool=cfg.pool,
             dtype=dtype,
             name="contraction",
         )(x, train)
@@ -137,6 +139,7 @@ class ModifiedUNet(nn.Module):
             base_channels=cfg.base_channels,
             depth=cfg.depth,
             remat=cfg.remat,
+            remat_scope=cfg.remat_scope,
             bn_single_pass=cfg.bn_single_pass,
             dtype=dtype,
             name="expansion",

@@ -36,6 +36,14 @@ class GroupedBatchNorm(nn.Module):
     batch-outer/county-inner loop order, models/unet.py:221,110). Note
     the reference semantics weight late-alphabet counties exponentially
     more; serial_ema=False gives the uniform group-mean EMA instead.
+
+    Known deviation: mesh-mode tail batches are padded to the compiled
+    batch size by cycling valid samples (train/loop.py:_mesh_epoch_iter).
+    Loss/metrics mask the pad rows exactly, but the running-stat EMA has
+    no per-sample weighting, so those duplicated rows participate — the
+    tail-batch running-stat trajectory deviates slightly from the
+    reference's ragged final batch. Single-device (non-mesh) training
+    feeds ragged tails and matches exactly.
     """
 
     num_group_axes: int
@@ -151,8 +159,30 @@ class DoubleConv(nn.Module):
         return x
 
 
-def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2 max pool over the last two spatial dims, any leading batch dims."""
+def max_pool_2x2(x: jnp.ndarray, impl: str = "reduce_window") -> jnp.ndarray:
+    """2×2 max pool over the last two spatial dims, any leading batch dims.
+
+    impl="reduce_window" (default): flax nn.max_pool. The b=8 HLO
+    profile attributes real step time to its select-and-scatter backward
+    plus the operand relayouts it forces, which motivated the
+    alternatives below — but the interleaved e2e A/B (bench
+    layout_matrix, BENCHMARKS.md r3) measured reduce_window FASTEST, so
+    it stays the default.
+    impl="pairwise": non-overlapping 2×2 pooling as two elementwise
+    maximums of strided slices (even vs odd rows, then even vs odd
+    columns); backward is pad-interior + compare-mask. Measured 23%
+    SLOWER end-to-end at b=8 — the stride-2 slices on second/third-minor
+    dims cost more in relayouts than select-and-scatter does. A third
+    variant (reshape-split to 6D) OOM'd compilation outright on a
+    2.4 GB materialized relayout and was dropped. Forward numerics are
+    identical across impls; gradients differ only on exact intra-window
+    ties (jnp.maximum routes ties to one operand, select-and-scatter to
+    the first scan-order element). Odd spatial dims always fall back to
+    reduce_window."""
+    h, w = x.shape[-3], x.shape[-2]
+    if impl == "pairwise" and h % 2 == 0 and w % 2 == 0:
+        x = jnp.maximum(x[..., 0::2, :, :], x[..., 1::2, :, :])
+        return jnp.maximum(x[..., 0::2, :], x[..., 1::2, :])
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
@@ -163,13 +193,14 @@ class Down(nn.Module):
     num_group_axes: int = 2
     dtype: Any = jnp.float32
     bn_single_pass: bool = False
+    pool: str = "reduce_window"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         return DoubleConv(
             self.features, self.num_group_axes, self.dtype,
             bn_single_pass=self.bn_single_pass, name="conv",
-        )(max_pool_2x2(x), train)
+        )(max_pool_2x2(x, self.pool), train)
 
 
 class Up(nn.Module):

@@ -26,32 +26,53 @@ from multimodal_outage_tpu.models.layers import DoubleConv, Down, Up, OutConv
 class Contraction(nn.Module):
     """4-stage U-Net encoder → (bottleneck, skip pyramid).
 
-    remat: wrap each conv block in jax.checkpoint so the backward pass
-    recomputes its activations instead of holding them in HBM — the skip
-    pyramid (needed by Expansion regardless) becomes the only stored
-    encoder state. Param paths are unchanged (blocks keep their explicit
-    names), so checkpoints are interchangeable across the toggle."""
+    remat: wrap conv blocks in jax.checkpoint so the backward pass
+    recomputes their activations instead of holding them in HBM — the
+    skip pyramid (needed by Expansion regardless) becomes the only
+    stored encoder state. Param paths are unchanged (blocks keep their
+    explicit names), so checkpoints are interchangeable across the
+    toggle.
+
+    remat_scope="all" wraps every block; "stem" wraps only the blocks at
+    the top two resolution levels (inc, down1 — whose intra-block
+    activations dominate HBM while their DoubleConvs are the cheapest to
+    recompute), leaving the deep blocks stored. The r2 grid measured
+    all-block remat at −42% throughput because it recomputes the
+    HBM-bandwidth-bound deep chains for little memory back
+    (BENCHMARKS.md)."""
 
     base_channels: int = 4
     depth: int = 4
     remat: bool = False
+    remat_scope: str = "all"
     bn_single_pass: bool = False
+    pool: str = "reduce_window"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
-        DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
-        Dn = nn.remat(Down, static_argnums=(2,)) if self.remat else Down
+        def wrap(cls, block_level: int):
+            # block_level: 0 = full resolution (inc), i+1 for down{i+1}
+            if self.remat and (
+                self.remat_scope == "all" or block_level <= 1
+            ):
+                # both DoubleConv and Down take train as positional arg 2
+                return nn.remat(cls, static_argnums=(2,))
+            return cls
+
         sp = self.bn_single_pass
         ch = self.base_channels
-        x = DC(ch, dtype=self.dtype, bn_single_pass=sp, name="inc")(x, train)
+        x = wrap(DoubleConv, 0)(
+            ch, dtype=self.dtype, bn_single_pass=sp, name="inc"
+        )(x, train)
         skips = [x]
         for i in range(self.depth):
             ch *= 2
-            x = Dn(
-                ch, dtype=self.dtype, bn_single_pass=sp, name=f"down{i+1}"
+            x = wrap(Down, i + 1)(
+                ch, dtype=self.dtype, bn_single_pass=sp, pool=self.pool,
+                name=f"down{i+1}",
             )(x, train)
             if i < self.depth - 1:
                 skips.append(x)
@@ -112,6 +133,7 @@ class Expansion(nn.Module):
     base_channels: int = 4
     depth: int = 4
     remat: bool = False
+    remat_scope: str = "all"  # "stem" ⇒ only the top-two-level Ups
     bn_single_pass: bool = False
     dtype: Any = jnp.float32
 
@@ -119,10 +141,17 @@ class Expansion(nn.Module):
     def __call__(
         self, x: jnp.ndarray, skips: Tuple[jnp.ndarray, ...], train: bool
     ) -> jnp.ndarray:
-        # Up.__call__(self, x, skip, train) → train is positional arg 3
-        U = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
         ch = self.base_channels * (2 ** (self.depth - 1))  # 32 at depth 4
         for i in range(self.depth):
+            # Up.__call__(self, x, skip, train) → train is positional arg 3.
+            # "stem" scope = the last two Ups (up3/up4 at depth 4), whose
+            # saved concat activations at the top two resolutions are both
+            # the HBM hogs and the source of the backward's largest
+            # layout-conversion copies (HLO profile, BENCHMARKS.md r3).
+            wrap_it = self.remat and (
+                self.remat_scope == "all" or i >= self.depth - 2
+            )
+            U = nn.remat(Up, static_argnums=(3,)) if wrap_it else Up
             x = U(
                 ch, dtype=self.dtype, bn_single_pass=self.bn_single_pass,
                 name=f"up{i+1}",

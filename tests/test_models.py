@@ -351,3 +351,93 @@ def test_remat_matches_plain_forward_and_grad():
         ),
         bs0, bs1,
     )
+
+
+def test_pool_reshape_matches_reduce_window():
+    """The pairwise strided-slice 2×2 max-pool lowering is numerically identical
+    to reduce_window in forward; gradients agree off exact ties (r3
+    layout-copy fix, BENCHMARKS.md)."""
+    from multimodal_outage_tpu.models.layers import max_pool_2x2
+
+    x = jax.random.normal(KEY, (2, 3, 16, 16, 5))
+    a = max_pool_2x2(x, "pairwise")
+    b = max_pool_2x2(x, "reduce_window")
+    assert a.shape == (2, 3, 8, 8, 5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # random floats ⇒ no intra-window ties ⇒ identical subgradients
+    ga = jax.grad(lambda v: jnp.sum(max_pool_2x2(v, "pairwise") ** 2))(x)
+    gb = jax.grad(
+        lambda v: jnp.sum(max_pool_2x2(v, "reduce_window") ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+    # odd spatial dims fall back to reduce_window
+    xo = jax.random.normal(KEY, (2, 7, 7, 3))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2(xo, "pairwise")),
+        np.asarray(max_pool_2x2(xo, "reduce_window")),
+    )
+
+
+def test_fusion_pool_toggle_matches():
+    """ModelConfig.pool changes lowering only — identical eval forward."""
+    x = jax.random.normal(KEY, (B, N, T, H, H, 1))
+    feats = jnp.zeros((B, T, 6))
+    sup = _supports(N)
+    m0 = build_model(ModelConfig(compute_dtype="float32", pool="pairwise"), horizon=T)
+    m1 = build_model(
+        ModelConfig(compute_dtype="float32", pool="reduce_window"), horizon=T
+    )
+    v = m0.init({"params": KEY, "dropout": KEY}, x, feats, sup, train=False)
+    y0 = m0.apply(v, x, feats, sup, train=False)
+    y1 = m1.apply(v, x, feats, sup, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_stem_remat_matches_plain_forward_and_grad():
+    """remat_scope='stem' (inc/down1/up3/up4 only) is a memory/layout
+    lever only: identical param tree, outputs, gradients, batch stats."""
+    cfg0 = ModelConfig(compute_dtype="float32", remat=False)
+    cfg1 = ModelConfig(
+        compute_dtype="float32", remat=True, remat_scope="stem"
+    )
+    m0 = build_model(cfg0, horizon=T)
+    m1 = build_model(cfg1, horizon=T)
+    x = jax.random.normal(KEY, (B, N, T, H, H, 1))
+    feats = jnp.zeros((B, T, 6))
+    sup = _supports(N)
+    v = m0.init({"params": KEY, "dropout": KEY}, x, feats, sup, train=False)
+    v1 = m1.init({"params": KEY, "dropout": KEY}, x, feats, sup, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(v, x, feats, sup, train=False)),
+        np.asarray(m1.apply(v, x, feats, sup, train=False)),
+        atol=1e-6,
+    )
+
+    def loss(m):
+        def f(params):
+            yhat, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, feats, sup, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(yhat**2), mut["batch_stats"]
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, bs0), g0 = loss(m0)
+    (l1, bs1), g1 = loss(m1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        ),
+        g0, g1,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        bs0, bs1,
+    )

@@ -26,26 +26,47 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_ASYNC = ("copy-start", "copy-done", "send", "recv", "collective-permute-start")
+
+
 def categorize(op_name: str) -> str:
-    """Bucket an XLA op name into the BENCHMARKS.md profile categories."""
-    n = op_name.lower()
-    if n.startswith("copy") or "copy-start" in n or "copy-done" in n:
-        return "copy"
-    if "convert" in n and ("reduce" in n or "fusion" in n):
+    """Bucket a SYNC XLA op name (async DMA spans are handled separately —
+    their durations overlap compute and must not be summed as busy time)."""
+    n = op_name.lower().lstrip("%")
+    if n.startswith("copy") or n.startswith("transpose"):
+        return "sync_copy_layout"  # layout-conversion copies — real device time
+    if "convert_reduce" in n:
         return "convert_reduce"
-    if "multiply_add" in n or "dot" in n or "conv" in n:
+    if "multiply_add" in n or n.startswith("dot") or n.startswith("conv"):
         return "multiply_add"
     if "reduce-window" in n or "select-and-scatter" in n or "pool" in n:
         return "pool"
     if "reverse" in n:
         return "reverse"
-    if "fusion" in n or "loop" in n or "add" in n or "mul" in n:
+    if "fusion" in n or "loop" in n:
         return "elementwise_fusion"
     return "other"
 
 
+def _is_async(name: str) -> bool:
+    n = name.lower().lstrip("%")
+    return any(n.startswith(a) for a in _ASYNC)
+
+
+def _union_len(intervals) -> float:
+    total, last_end = 0.0, None
+    for s, e in sorted(intervals):
+        if last_end is None or s > last_end:
+            total += e - s
+            last_end = e
+        elif e > last_end:
+            total += e - last_end
+            last_end = e
+    return total
+
+
 def parse_xplane(profile_dir: str, top: int):
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     paths = glob.glob(
         os.path.join(profile_dir, "**", "*.xplane.pb"), recursive=True
@@ -59,6 +80,7 @@ def parse_xplane(profile_dir: str, top: int):
 
     per_op: collections.Counter = collections.Counter()
     occurrences: collections.Counter = collections.Counter()
+    sync_iv, async_iv = [], []
     for plane in xspace.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
@@ -68,9 +90,44 @@ def parse_xplane(profile_dir: str, top: int):
                 continue
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
+                start = (line.timestamp_ns * 1e3 + ev.offset_ps) / 1e9  # ms
+                end = start + ev.duration_ps / 1e9
+                if _is_async(name):
+                    async_iv.append((start, end))
+                    continue  # span overlaps compute; not busy time
                 per_op[name] += ev.duration_ps / 1e9  # ps → ms
                 occurrences[name] += 1
-    return per_op, occurrences
+                sync_iv.append((start, end))
+
+    def _merge(iv):
+        flat = []
+        for s, e in sorted(iv):
+            if flat and s <= flat[-1][1]:
+                flat[-1][1] = max(flat[-1][1], e)
+            else:
+                flat.append([s, e])
+        return flat
+
+    busy = _union_len(sync_iv)
+    # async DMA time NOT hidden under sync compute = true copy stall:
+    # |union(async) \ union(sync)|
+    stall = 0.0
+    flat_sync = _merge(sync_iv)
+    for s, e in _merge(async_iv):
+        cur = s
+        for fs, fe in flat_sync:
+            if fe <= cur:
+                continue
+            if fs >= e:
+                break
+            if fs > cur:
+                stall += fs - cur
+            cur = max(cur, fe)
+            if cur >= e:
+                break
+        if cur < e:
+            stall += e - cur
+    return per_op, occurrences, busy, stall
 
 
 def main() -> None:
@@ -133,19 +190,20 @@ def main() -> None:
     else:
         n_steps = args.steps
 
-    per_op, occ = parse_xplane(args.out, args.top)
+    per_op, occ, busy, stall = parse_xplane(args.out, args.top)
     total = sum(per_op.values())
-    print(f"\n== per-op device time (top {args.top}), {n_steps} steps, "
-          f"total {total:.1f} ms ({total / n_steps:.1f} ms/step) ==")
+    print(f"\n== sync device time {total / n_steps:.1f} ms/step "
+          f"(busy union {busy / n_steps:.1f}, async-DMA stall "
+          f"{stall / n_steps:.1f}) over {n_steps} steps ==")
     print(f"{'ms/step':>9} {'share':>6} {'count':>6}  op")
     for name, ms in per_op.most_common(args.top):
         print(f"{ms / n_steps:9.3f} {ms / total * 100:5.1f}% "
-              f"{occ[name]:6d}  {name[:110]}")
+              f"{occ[name]:6d}  {name[:130]}")
 
     cats: collections.Counter = collections.Counter()
     for name, ms in per_op.items():
         cats[categorize(name)] += ms
-    print("\n== per-category ==")
+    print("\n== per-category (sync ops) ==")
     for cat, ms in cats.most_common():
         print(f"{ms / n_steps:9.3f} {ms / total * 100:5.1f}%  {cat}")
 
