@@ -118,18 +118,39 @@ class DevicePipeline:
         image_size: int,
         dtype=jnp.bfloat16,
         mesh=None,
+        shard_store: bool = False,
     ):
         dtype = jnp.dtype(dtype)
         if mesh is not None:
-            # SPMD feeding: the store is replicated across the mesh and the
-            # jitted gather emits batches ALREADY sharded (B over data, T
-            # over time) — no single-device staging hop.
+            # SPMD feeding: the store lives on the mesh and the jitted
+            # gather emits batches ALREADY sharded (B over data, T over
+            # time) — no single-device staging hop.
+            #
+            # shard_store: partition the frame store's date dim over the
+            # data axis instead of replicating it — each chip holds D/dp
+            # frames (a 4 GB store costs 4 GB of POD HBM, not 4 GB/chip).
+            # GSPMD lowers the window take() on the sharded dim as local
+            # gathers with out-of-shard rows masked + an all-reduce of
+            # the (small) gathered batch over ICI — the "sharded gather +
+            # all-gather of the tiny batch" trade. Off by default: on
+            # small stores replication skips that collective entirely.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from multimodal_outage_tpu.core.mesh import DATA_AXIS
             from multimodal_outage_tpu.parallel.sharding import batch_shardings
 
+            store_spec = P(DATA_AXIS) if shard_store else P()
+            frames = np.asarray(store.frames, np.float32)
+            if shard_store:
+                # pad the date dim to a multiple of dp (pad rows are never
+                # referenced by window positions — dataset index math caps
+                # at the true date count)
+                dp = mesh.shape[DATA_AXIS]
+                pad = (-frames.shape[0]) % dp
+                if pad:
+                    frames = np.pad(frames, [(0, pad)] + [(0, 0)] * 3)
             self.frames = jax.device_put(
-                np.asarray(store.frames, np.float32), NamedSharding(mesh, P())
+                frames, NamedSharding(mesh, store_spec)
             )
             out_shard = batch_shardings(
                 mesh, {"x": None, "y": None, "date_feats": None}

@@ -131,6 +131,7 @@ def make_pipeline(cfg: Config, store, mesh=None):
             cfg.data.image_size,
             dtype=_jnp.dtype(cfg.data.device_dtype),
             mesh=mesh,
+            shard_store=cfg.data.shard_store,
         )
     return None
 
@@ -166,7 +167,12 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
     """SPMD batch stream: every batch is padded to the full batch size
     (one compiled shape), carries a 'w' sample-weight row masking the pad
     rows (parallel.sharding.pad_batch semantics), and lands on the mesh
-    sharded B-over-data / T-over-time."""
+    sharded B-over-data / T-over-time.
+
+    Loss/metrics are exactly masked; train-mode BatchNorm running stats
+    are not (the duplicated pad rows contribute to the EMA — see the
+    GroupedBatchNorm docstring for the documented tail-batch deviation).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from multimodal_outage_tpu.data.pipeline import preprocess_batch

@@ -124,3 +124,38 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_store_pipeline_matches_replicated(tiny_store):
+    """VERDICT r2 #6: sharding the HBM frame store over the data axis must
+    shrink per-device store bytes ~dp× while producing numerically
+    identical batches to the replicated store."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    mesh = make_mesh(data=8)
+    ds = WindowDataset.from_case_study(
+        tiny_store, HURRICANES, dataset_range=5, horizon=2
+    )
+    kw = dict(
+        mean=2.0, std=3.0, image_size=tiny_store.image_size,
+        dtype=jnp.float32,
+    )
+    rep = DevicePipeline(tiny_store, mesh=mesh, **kw)
+    shd = DevicePipeline(tiny_store, mesh=mesh, shard_store=True, **kw)
+
+    # per-device store footprint shrinks ~dp× (date dim padded to 8)
+    rep_bytes = max(s.data.nbytes for s in rep.frames.addressable_shards)
+    shd_bytes = max(s.data.nbytes for s in shd.frames.addressable_shards)
+    d = tiny_store.frames.shape[0]
+    import math
+
+    assert shd_bytes * d <= rep_bytes * math.ceil(d / 8) + 1
+    idx = np.arange(8)
+    a = rep.batch(ds, idx)
+    b = shd.batch(ds, idx)
+    for k in ("x", "y", "date_feats"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=1e-6
+        )
