@@ -217,3 +217,48 @@ def test_single_pass_stats_match_two_pass():
     yc, mutc = m1.apply(v, jnp.asarray(xc), train=True, mutable=["batch_stats"])
     assert np.all(np.isfinite(np.asarray(yc)))
     assert np.all(np.asarray(mutc["batch_stats"]["var"]) >= 0.0)
+
+
+def _bn_shift_run(x, single_pass):
+    m = GroupedBatchNorm(num_group_axes=2, single_pass=single_pass)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    # running stats at init: mean 0, var 1 ⇒ m0 = 0, the worst case
+    y, upd = m.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    return np.asarray(y), jax.tree.map(np.asarray, upd["batch_stats"])
+
+
+def test_single_pass_distribution_shift_worst_case():
+    """ADVICE r2: pin the single-pass variance error when the running
+    mean m0 is far from a group's mean (early training / strong shift).
+
+    With data ~ N(shift, 1) and m0 = 0, the shifted-moment cancellation
+    s2 − s1² subtracts ~shift² quantities whose f32 rounding (a few ULPs
+    of shift² after the mean accumulation) lands as absolute variance
+    error. Measured at shift=1e3: variance off by ≲0.5 on a true
+    variance of 1, i.e. normalized outputs off by up to ~25% — finite
+    and benign-shaped but numerically degraded. This is the documented
+    pathological regime for bn_single_pass (default ON for the +4.7%
+    throughput win on CONDITIONED data, where m0 tracks group means);
+    --bn_two_pass is the escape hatch."""
+    rng = np.random.default_rng(0)
+    shift = 1e3
+    x = (rng.normal(size=(2, 3, 8, 8, 4)) + shift).astype(np.float32)
+    y1, st1 = _bn_shift_run(x, True)
+    y2, st2 = _bn_shift_run(x, False)
+    assert np.isfinite(y1).all()
+    np.testing.assert_allclose(st1["mean"], st2["mean"], atol=1e-3)
+    # pinned worst case: a few ULPs of shift² of absolute variance error
+    assert np.max(np.abs(st1["var"] - st2["var"])) < shift**2 * 2**-23 * 8
+    assert np.max(np.abs(y1 - y2)) < 2.0  # outputs degraded, not broken
+
+
+def test_single_pass_moderate_shift_is_tight():
+    """The cancellation error scales with shift²·2⁻²³: at shift=10 (m0
+    merely stale, the realistic early-training case) single-pass and
+    two-pass agree to f32 noise."""
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(2, 3, 8, 8, 4)) + 10.0).astype(np.float32)
+    y1, st1 = _bn_shift_run(x, True)
+    y2, st2 = _bn_shift_run(x, False)
+    np.testing.assert_allclose(st1["var"], st2["var"], atol=1e-3)
+    np.testing.assert_allclose(y1, y2, atol=1e-3)
