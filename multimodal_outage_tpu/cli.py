@@ -85,6 +85,14 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "activations that dominate HBM; 'all' checkpoints every block",
     )
     p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="split each batch into N serially-scanned microbatches in one "
+        "compiled step: peak activation HBM of one microbatch, exact "
+        "full-batch gradients and serial-EMA BatchNorm running stats — "
+        "trains the reference's default batch 16 on a 16 GB chip "
+        "(--batch_size 16 --grad_accum 2)",
+    )
+    p.add_argument(
         "--pool", choices=["reduce_window", "pairwise"],
         default="reduce_window",
         help="2×2 max-pool lowering (reduce_window: flax nn.max_pool, "
@@ -137,6 +145,7 @@ def _build_config(args):
     train = TrainConfig(
         epochs=getattr(args, "epochs", 5),
         batch_size=args.batch_size,
+        grad_accum=getattr(args, "grad_accum", 1),
         job_id=getattr(args, "job_id", "test"),
         seed=getattr(args, "seed", 42),
         resume=getattr(args, "resume", False),

@@ -156,6 +156,13 @@ class TrainConfig:
     job_id: str = "test"
     keep_top_k: int = 1  # reference lit.py:194 save_top_k=1
     donate_buffers: bool = True
+    # Split each batch into this many serially-scanned microbatches inside
+    # ONE compiled step (train/steps.py:make_accum_train_step): peak
+    # activation HBM drops to one microbatch's while gradients and the
+    # serial-EMA BatchNorm running stats are EXACTLY the full batch's —
+    # how the reference's default batch 16 (lit.py:213) trains on a chip
+    # where b=16 does not fit in one shot (single-device path only):
+    grad_accum: int = 1
     resume: bool = False  # continue from the latest checkpoint in run dir
     debug_nans: bool = False  # jax_debug_nans numerical sanitizer (SURVEY §5)
     profile_dir: Optional[str] = None  # jax.profiler trace capture target

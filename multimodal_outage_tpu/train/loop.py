@@ -288,6 +288,11 @@ def fit(
                 f"horizon {cfg.data.horizon} not divisible by mesh time "
                 f"axis {sp}"
             )
+        if cfg.train.grad_accum > 1:
+            raise ValueError(
+                "grad_accum is a single-device-path feature; with a mesh, "
+                "scale batch over the data axis instead"
+            )
         if progress:
             print(f"SPMD mesh: {dict(mesh.shape)}")
     device_pipe = make_pipeline(cfg, ds.store, mesh=mesh)
@@ -336,6 +341,37 @@ def fit(
     else:
         train_step = make_train_step(model, donate=cfg.train.donate_buffers)
         eval_step = make_eval_step(model)
+        if cfg.train.grad_accum > 1:
+            # full-size batches run the accumulating step (one compiled
+            # program, microbatch-peak activation HBM); ragged tail
+            # batches (len % accum != 0) fall back to the one-shot step
+            # at their own (smaller, fitting) shape
+            from multimodal_outage_tpu.train.steps import (
+                make_accum_train_step,
+            )
+
+            ga = cfg.train.grad_accum
+            if cfg.train.batch_size % ga != 0:
+                raise ValueError(
+                    f"batch_size {cfg.train.batch_size} not divisible by "
+                    f"grad_accum {ga}"
+                )
+            accum_step = make_accum_train_step(
+                model, ga, donate=cfg.train.donate_buffers
+            )
+            one_shot = train_step
+
+            def train_step(state, batch, supports, lr, rng):  # noqa: F811
+                b = batch["x"].shape[0]
+                if b % ga == 0:
+                    mb = jax.tree.map(
+                        lambda a: a.reshape(
+                            (ga, b // ga) + tuple(a.shape[1:])
+                        ),
+                        batch,
+                    )
+                    return accum_step(state, mb, supports, lr, rng)
+                return one_shot(state, batch, supports, lr, rng)
 
     best_val = float("inf")
     best_epoch = -1

@@ -63,6 +63,94 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
+def make_accum_train_step(
+    model, accum: int, donate: bool = True
+) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Gradient-accumulation train step: one compiled program consuming a
+    batch whose leaves are shaped [accum, b/accum, ...] and scanning the
+    microbatches serially, so peak activation HBM is that of ONE
+    microbatch while the update is the full batch's.
+
+    This reproduces the reference's batch-16 training semantics
+    (lit.py:213) EXACTLY on a chip where b=16 does not fit in one shot
+    (BENCHMARKS.md: b=16 OOMs plain, with all-block remat, and with
+    stem-scope remat):
+
+    - Gradients: MSE is a mean over batch elements, so the mean of
+      equal-sized microbatch gradients IS the full-batch gradient.
+    - BatchNorm: train-mode normalization uses per-(sample, county)
+      GROUP statistics (models/layers.py), which never cross microbatch
+      boundaries; and the serial-EMA running-stat update telescopes —
+      applying the closed form to microbatch 1 then microbatch 2 equals
+      one serial pass over all accum·b/accum·67 groups in order, i.e.
+      bit-for-the-same-math as a true batch-16 serial trajectory.
+    - Dropout: each microbatch folds a distinct rng (a different random
+      draw, not a semantics change).
+
+    Metrics are equal-weight means over microbatches == full-batch means.
+    """
+
+    tx = make_optimizer()
+
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],  # leaves [accum, mb, ...]
+        supports: Optional[jnp.ndarray],
+        lr: jnp.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def micro(carry, inp):
+            bs, grads_acc = carry
+            mb, k = inp
+
+            def loss_fn(params):
+                yhat, mutated = model.apply(
+                    {"params": params, "batch_stats": bs},
+                    mb["x"],
+                    mb["date_feats"],
+                    supports,
+                    train=True,
+                    rngs={
+                        "dropout": jax.random.fold_in(
+                            jax.random.fold_in(rng, state.step), k
+                        )
+                    },
+                    mutable=["batch_stats"],
+                )
+                return M.mse(yhat, mb["y"]), (yhat, mutated["batch_stats"])
+
+            (_, (yhat, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (new_bs, grads_acc), M.regression_metrics(yhat, mb["y"])
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_bs, grads_sum), metrics = jax.lax.scan(
+            micro,
+            (state.batch_stats, zeros),
+            (batch, jnp.arange(accum)),
+        )
+        grads = jax.tree.map(lambda g: g / accum, grads_sum)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+        # rmse is sqrt-of-mean, not mean-of-sqrt — recompute from the
+        # exact full-batch mse so it matches the one-shot step
+        metrics["rmse"] = jnp.sqrt(metrics["loss"])
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model) -> Callable[..., Dict[str, jnp.ndarray]]:
     @jax.jit
     def eval_step(
