@@ -46,10 +46,16 @@ def test_dryrun_fresh_process():
 @pytest.mark.slow
 def test_dryrun_after_backend_already_initialized():
     """Caller touched jax (1-device backend) before calling us: the
-    subprocess fallback must still deliver the 8-device dryrun."""
+    subprocess fallback must still deliver the 8-device dryrun.
+
+    The pre-initialized backend is forced to CPU through jax.config (the
+    sitecustomize pins jax_platforms, so the env var alone is too late) —
+    initializing the real TPU backend here would make the test hang
+    whenever the TPU tunnel is unavailable, and which backend got
+    initialized is irrelevant to the fallback being exercised."""
     code = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
-        "import jax; assert jax.device_count() >= 1\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.device_count() >= 1\n"
         "import __graft_entry__ as g; g.dryrun_multichip(8)\n"
     )
     proc = _run(code)
