@@ -466,10 +466,9 @@ def bench_layout_matrix(steps=10, b=8) -> Dict:
     def _pad_channels(x, c):
         return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, c - x.shape[-1])])
 
-    fns = {}
-    for name, kw in variants.items():
-        kw = dict(kw)
-        pad_c = kw.pop("_pad_c", 0)
+    def _make_run(kw, pad_c=0):
+        """Build the per-variant step closure: real e2e path (device
+        window gather + train step), optional input channel padding."""
         model = build_model(
             ModelConfig(compute_dtype="bfloat16", **kw), horizon=t
         )
@@ -480,7 +479,7 @@ def bench_layout_matrix(steps=10, b=8) -> Dict:
         step = make_train_step(model, donate=False)
         holder = {"state": state, "i": 0}
 
-        def run(step=step, holder=holder, pad_c=pad_c):
+        def run():
             batch = pipe.batch(
                 ds, (np.arange(b) + holder["i"]) % (n_samples - b)
             )
@@ -492,7 +491,9 @@ def bench_layout_matrix(steps=10, b=8) -> Dict:
             )
             return m["loss"]
 
-        fns[name] = run
+        return run
+
+    fns = {name: _make_run(kw) for name, kw in variants.items()}
 
     res = _interleaved_ab(fns, steps)
     tiles = b * n * t
@@ -504,26 +505,7 @@ def bench_layout_matrix(steps=10, b=8) -> Dict:
     # input 1→8 channels multiplies the stem input HBM ~8× (≈1 GB at
     # b=8), so a failure here must not take down the matrix above.
     try:
-        model8 = build_model(
-            ModelConfig(compute_dtype="bfloat16"), horizon=t
-        )
-        batch0 = pipe.batch(ds, np.arange(b))
-        batch0 = dict(batch0, x=_pad_channels(batch0["x"], 8))
-        state8 = create_train_state(model8, rng, batch0, supports)
-        step8 = make_train_step(model8, donate=False)
-        holder8 = {"state": state8, "i": 0}
-
-        def run8():
-            batch = pipe.batch(
-                ds, (np.arange(b) + holder8["i"]) % (n_samples - b)
-            )
-            batch = dict(batch, x=_pad_channels(batch["x"], 8))
-            holder8["i"] += 1
-            holder8["state"], m = step8(
-                holder8["state"], batch, supports, lr, rng
-            )
-            return m["loss"]
-
+        run8 = _make_run(dict(pool="reduce_window", remat=False), pad_c=8)
         res8 = _interleaved_ab({"base2": fns["base"], "stem8": run8}, steps)
         detail.update(
             {name: round(tiles / sec, 1) for name, sec in res8.items()}

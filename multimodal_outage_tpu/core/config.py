@@ -138,6 +138,21 @@ class ModelConfig:
     # Set False (--bn_two_pass) for bit-closest torch arithmetic:
     bn_single_pass: bool = True
 
+    def __post_init__(self):
+        # argparse `choices` only guards the CLI; direct construction with
+        # a typo'd scope would otherwise silently fall through the model's
+        # string gates to stem-scope remat / reduce_window pooling
+        if self.remat_scope not in ("all", "stem"):
+            raise ValueError(
+                f"remat_scope must be 'all' or 'stem', got "
+                f"{self.remat_scope!r}"
+            )
+        if self.pool not in ("reduce_window", "pairwise"):
+            raise ValueError(
+                f"pool must be 'reduce_window' or 'pairwise', got "
+                f"{self.pool!r}"
+            )
+
     @property
     def st_gnn_in_dim(self) -> int:
         return self.feature_vector_size + self.time_embed_size

@@ -257,6 +257,10 @@ def download_missing_dates(
         gaps: List[datetime.date] = []
         for start, end in ranges.values():
             gaps.extend(find_missing_dates(have, start, end))
+        # overlapping hurricane windows (margin_days large enough that
+        # ian/idalia ranges intersect) yield the same date from several
+        # ranges — dedup so runs don't overlap and counts stay honest
+        gaps = sorted(set(gaps))
         fetched[county] = gaps
         for start, end in _contiguous_runs(gaps):
             dates = pd.date_range(start, end, freq="D")
@@ -267,8 +271,17 @@ def download_missing_dates(
                 bearer=token,
                 variable=variable,
             )
+            # a gap date can be missing upstream too (no granule that
+            # day — the usual cause of the original partial download);
+            # skip those instead of wedging every future recovery run
+            available = {
+                str(t)[:10] for t in np.asarray(raster["time"].values)
+            }
             for ts in dates:
-                day = raster.sel(time=ts.strftime("%Y-%m-%d"))[variable]
+                key = ts.strftime("%Y-%m-%d")
+                if key not in available:
+                    continue
+                day = raster.sel(time=key)[variable]
                 np.save(
                     os.path.join(
                         county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"

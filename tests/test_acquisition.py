@@ -90,3 +90,78 @@ def test_download_missing_dates_requires_token(monkeypatch, tmp_path):
     monkeypatch.delenv("NASA_BEARER_TOKEN", raising=False)
     with pytest.raises(RuntimeError, match="NASA_BEARER_TOKEN"):
         acq.download_missing_dates(str(tmp_path))
+
+
+def test_download_missing_dates_dedups_and_skips_unavailable(
+    monkeypatch, tmp_path
+):
+    """Overlapping hurricane windows must not double-fetch shared dates,
+    and a gap date absent upstream (no granule) must be skipped instead
+    of raising KeyError and wedging every future recovery run."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    monkeypatch.setenv("NASA_BEARER_TOKEN", "t")
+
+    fetch_log = []
+
+    class _Day:
+        def __init__(self, values):
+            self.values = values
+
+    class _Raster:
+        """Just enough xarray.Dataset surface for the download loop."""
+
+        def __init__(self, times):
+            self._times = list(times)
+
+        def __getitem__(self, key):
+            assert key == "time"
+            return _Day(np.array(self._times, dtype="datetime64[D]"))
+
+        def sel(self, time):
+            assert time in {str(t) for t in self._times}
+            return {"VAR": _Day(np.zeros((2, 2), np.float32))}
+
+    def fake_bm_raster(gdf, product_id, date_range, bearer, variable):
+        dates = [d.date() for d in date_range]
+        fetch_log.extend(dates)
+        # upstream has no granule for the last requested date
+        return _Raster([d.isoformat() for d in dates[:-1]] or [])
+
+    bm_mod = types.ModuleType("blackmarble")
+    bm_raster_mod = types.ModuleType("blackmarble.raster")
+    bm_raster_mod.bm_raster = fake_bm_raster
+    bm_mod.raster = bm_raster_mod
+    monkeypatch.setitem(sys.modules, "blackmarble", bm_mod)
+    monkeypatch.setitem(sys.modules, "blackmarble.raster", bm_raster_mod)
+    monkeypatch.setitem(sys.modules, "geopandas", types.ModuleType("geopandas"))
+
+    monkeypatch.setattr(
+        acq, "load_florida_county_geometries", lambda: {"alachua": object()}
+    )
+    # two overlapping windows sharing one date
+    monkeypatch.setattr(
+        acq,
+        "hurricane_date_ranges",
+        lambda h, m: {
+            "a": (datetime.date(2022, 9, 1), datetime.date(2022, 9, 3)),
+            "b": (datetime.date(2022, 9, 3), datetime.date(2022, 9, 5)),
+        },
+    )
+
+    fetched = acq.download_missing_dates(str(tmp_path), variable="VAR")
+
+    # the shared date (9/3) appears once in the gap list and once in the
+    # fetch requests — no duplicate runs from the overlap
+    gaps = fetched["alachua"]
+    assert gaps == sorted(set(gaps))
+    assert fetch_log == sorted(set(fetch_log))
+    # the upstream-unavailable date (9/5, dropped by fake_bm_raster) was
+    # skipped, everything else was written
+    files = sorted(p.name for p in (tmp_path / "alachua").iterdir())
+    assert "2022_9_5.npy" not in files
+    assert "2022_9_1.npy" in files and "2022_9_3.npy" in files
+    _ = pd  # imported to mirror the module's runtime dependency

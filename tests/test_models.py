@@ -441,3 +441,19 @@ def test_stem_remat_matches_plain_forward_and_grad():
         ),
         bs0, bs1,
     )
+
+
+def test_model_config_rejects_invalid_remat_scope_and_pool():
+    """argparse choices only guard the CLI; direct construction with a
+    typo'd scope must fail fast instead of silently acting as stem-scope
+    remat / reduce_window pooling."""
+    import pytest
+
+    from multimodal_outage_tpu.core.config import ModelConfig
+
+    with pytest.raises(ValueError, match="remat_scope"):
+        ModelConfig(remat=True, remat_scope="full")
+    with pytest.raises(ValueError, match="pool"):
+        ModelConfig(pool="maxpool")
+    # the valid values still construct
+    ModelConfig(remat_scope="stem", pool="pairwise")

@@ -2,7 +2,7 @@
 
 Usage:
   python tools/profile_step.py [--batch 8] [--steps 5] [--out /tmp/prof]
-          [--top 40] [--bn_two_pass] [--stem_pad N] [--remat_mode MODE]
+          [--top 40] [--bn_two_pass] [--parse_only]
 
 Captures a jax.profiler trace around `steps` full training steps of the
 REAL input path (HBM-resident window gather + normalize + fused train
