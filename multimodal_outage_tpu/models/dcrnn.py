@@ -188,6 +188,14 @@ class DCRNN(nn.Module):
         train: bool,
         targets: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        if supports is None:
+            # fail at the model boundary, not as an AttributeError deep
+            # inside the scan trace — DCRNN has no graph-free mode (the
+            # dual-random-walk diffusion IS the model; pass identity
+            # supports to disable mixing)
+            raise ValueError(
+                "DCRNN requires a supports array [S, N, N]; got None"
+            )
         b, n, t, _ = x.shape
         init_states = tuple(
             jnp.zeros((b, n, self.rnn_units), self.dtype)

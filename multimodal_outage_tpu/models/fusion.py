@@ -54,6 +54,7 @@ def _build_gwnet(cfg: ModelConfig, horizon: int, dtype) -> nn.Module:
         gcn_bool=g.gcn_bool,
         addaptadj=g.addaptadj,
         node_embed_dim=g.node_embed_dim,
+        bn_single_pass=cfg.bn_single_pass,
         dtype=dtype,
         name="st_gnn",
     )
@@ -113,11 +114,19 @@ class ModifiedUNet(nn.Module):
 
         # Date2Vec fused into the forward: one embedding per date,
         # broadcast over counties (reference utils.py:94,103 semantics).
-        te = Date2Vec(k=cfg.time_embed_size, dtype=dtype, name="date2vec").encode(
-            date_feats.astype(dtype)
-        )
+        # Computed in f32 regardless of compute_dtype: the raw year
+        # feature (~2022) would quantize to multiples of 8 in bf16
+        # (2017..2027 collapse onto 2016/2024), destroying year
+        # resolution before the embedding; the reference computes it in
+        # f32 in the data loader (utils.py:111-129). Only the O(1)
+        # embedding output joins the compute-dtype stream, and the
+        # 6->k matmul is negligible FLOPs either way.
+        te = Date2Vec(
+            k=cfg.time_embed_size, dtype=jnp.float32, name="date2vec"
+        ).encode(date_feats.astype(jnp.float32))
         if not cfg.train_date2vec:
             te = jax.lax.stop_gradient(te)
+        te = te.astype(dtype)
         te = jnp.broadcast_to(te[:, None], (b, n, t, cfg.time_embed_size))
         z = jnp.concatenate([z, te], axis=-1)  # [B, N, T, 320]
 

@@ -35,6 +35,16 @@ import numpy as np
 from multimodal_outage_tpu.models.layers import GroupedBatchNorm
 
 
+def adaptive_adjacency(nodevec1, nodevec2, dtype=jnp.float32):
+    """Learned adaptive adjacency softmax(relu(E1·E2), axis=1)
+    (reference graph_wavenet.py:199-203). The single definition shared by
+    the flax forward below and the serving stack kernel's support baking
+    (ops/gwnet_stack_pallas.adaptive_supports) — keep them from drifting."""
+    return jax.nn.softmax(
+        jax.nn.relu(nodevec1 @ nodevec2).astype(jnp.float32), axis=1
+    ).astype(dtype)
+
+
 def svd_aptinit(adj: np.ndarray, node_embed_dim: int):
     """SVD initialization of the adaptive-adjacency node embeddings
     (reference models/graph_wavenet.py:136-141, the randomadj=False path):
@@ -124,6 +134,7 @@ class GraphWaveNet(nn.Module):
     reference_view_quirk: bool = False
     use_pallas: bool = False  # fused Pallas layer (TPU; kernel_size=1 path)
     pallas_interpret: bool = False  # interpreter mode for CPU testing
+    bn_single_pass: bool = False  # fused one-sweep BN statistics (layers.py)
     dtype: Any = jnp.float32
 
     @property
@@ -196,9 +207,15 @@ class GraphWaveNet(nn.Module):
         # adaptive adjacency: softmax(relu(E1·E2), axis=1)
         # (reference models/graph_wavenet.py:199-203). gcn_bool=False
         # disables ALL graph mixing (reference :128 `if gcn_bool`).
+        # Branch semantics follow the reference exactly (graph_wavenet.py
+        # :239-245): graph diffusion runs iff gcn_bool AND some support
+        # exists (static or adaptive); otherwise 1×1 residual convs.
+        # NOTE this makes the flax param structure depend on whether
+        # `supports` is passed (gconv{i} vs residual_conv{i}) — init and
+        # apply must agree on support availability, or flax raises a
+        # missing-parameter error naming the absent branch.
         if not self.gcn_bool:
             supports = None
-        n_supports = supports.shape[0] if supports is not None else 0
         all_supports = None
         if self.addaptadj and self.gcn_bool:
             nodevec1 = self.param(
@@ -207,14 +224,11 @@ class GraphWaveNet(nn.Module):
             nodevec2 = self.param(
                 "nodevec2", nn.initializers.normal(1.0), (self.node_embed_dim, n)
             )
-            adp = jax.nn.softmax(
-                nn.relu(nodevec1 @ nodevec2).astype(jnp.float32), axis=1
-            ).astype(x.dtype)
+            adp = adaptive_adjacency(nodevec1, nodevec2, x.dtype)
             parts = [adp[None]]
             if supports is not None:
                 parts = [supports.astype(x.dtype), adp[None]]
             all_supports = jnp.concatenate(parts, axis=0)
-            n_supports += 1
         elif supports is not None:
             all_supports = supports.astype(x.dtype)
 
@@ -275,7 +289,9 @@ class GraphWaveNet(nn.Module):
 
             x = x + residual[:, :, -x.shape[2] :, :]
             x = GroupedBatchNorm(
-                num_group_axes=1, dtype=self.dtype, name=f"bn{i}"
+                num_group_axes=1,
+                single_pass=self.bn_single_pass,
+                name=f"bn{i}",
             )(x, train)
 
         out = nn.relu(skip)

@@ -58,7 +58,9 @@ class GroupedBatchNorm(nn.Module):
     # near-constant group loses variance precision; the clamp keeps
     # rsqrt finite, and (x−μ)≈0 there makes the output benign).
     single_pass: bool = False
-    dtype: Any = jnp.float32
+    # No dtype knob: statistics/normalization are computed in f32
+    # unconditionally (bf16 moments would cost accuracy, not bandwidth —
+    # BENCHMARKS.md lever (c)) and the output is cast back to x.dtype.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -152,7 +154,6 @@ class DoubleConv(nn.Module):
             x = GroupedBatchNorm(
                 num_group_axes=self.num_group_axes,
                 single_pass=self.bn_single_pass,
-                dtype=self.dtype,
                 name=f"bn{i+1}",
             )(x, train)
             x = nn.relu(x)

@@ -41,11 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from multimodal_outage_tpu.ops.common import LANES, round_up as _round_up  # noqa: E501
 
 
 def _dcrnn_stack_kernel(

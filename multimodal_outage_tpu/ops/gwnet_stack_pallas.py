@@ -43,11 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+from multimodal_outage_tpu.ops.common import LANES, round_up as _round_up  # noqa: E501
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+# Eval-mode BatchNorm as y = x·A + B (per channel) — the one folding
+# definition, shared with the U-Net serving path.
+from multimodal_outage_tpu.ops.unet_pallas import (
+    fold_batchnorm as fold_bn_affine,
+)
 
 
 def _stack_kernel(
@@ -132,12 +134,6 @@ def _stack_kernel(
     y_ref[:] = out.reshape(blk, np_, -1).astype(y_ref.dtype)
 
 
-def fold_bn_affine(scale, bias, mean, var, eps: float = 1e-5):
-    """Eval-mode BatchNorm as y = x·A + B (per channel)."""
-    a = scale / jnp.sqrt(var + eps)
-    return a, bias - mean * a
-
-
 def stack_params_from_module(
     params: Dict[str, Any],
     batch_stats: Dict[str, Any],
@@ -188,15 +184,16 @@ def adaptive_supports(
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Static supports + the learned adaptive adjacency
-    softmax(relu(E1·E2), axis=1) (reference graph_wavenet.py:199-203)."""
+    (reference graph_wavenet.py:199-203). The formula itself lives in
+    models/gwnet.py:adaptive_adjacency — one definition for the flax
+    forward and this serving-side support baking."""
+    from multimodal_outage_tpu.models.gwnet import adaptive_adjacency
+
     parts = []
     if supports is not None:
         parts.append(supports.astype(dtype))
     if nodevec1 is not None:
-        adp = jax.nn.softmax(
-            jax.nn.relu(nodevec1 @ nodevec2).astype(jnp.float32), axis=1
-        ).astype(dtype)
-        parts.append(adp[None])
+        parts.append(adaptive_adjacency(nodevec1, nodevec2, dtype)[None])
     return jnp.concatenate(parts, axis=0)
 
 

@@ -243,14 +243,18 @@ class ServingModel:
         z = jax.nn.relu(_dense(flat, p["encoder"]["fc1"]))
         z = jax.nn.relu(_dense(z, p["encoder"]["fc2"]))
 
+        # Date2Vec in f32: the raw year (~2022) quantizes to multiples of
+        # 8 in bf16; only the O(1) embedding joins the bf16 stream
+        # (mirrors models/fusion.py)
         d2v = p["date2vec"]
+        df32 = date_feats.astype(jnp.float32)
         te = jnp.concatenate(
             [
-                _dense(date_feats.astype(dtype), d2v["fc1"]),
-                jnp.sin(_dense(date_feats.astype(dtype), d2v["fc2"])),
+                _dense(df32, d2v["fc1"]),
+                jnp.sin(_dense(df32, d2v["fc2"])),
             ],
             axis=-1,
-        )
+        ).astype(dtype)
         te = jnp.broadcast_to(te[:, None], (b, n, t, te.shape[-1]))
         z = jnp.concatenate([z, te], axis=-1)
 

@@ -457,3 +457,27 @@ def test_model_config_rejects_invalid_remat_scope_and_pool():
         ModelConfig(pool="maxpool")
     # the valid values still construct
     ModelConfig(remat_scope="stem", pool="pairwise")
+
+
+def test_fusion_bf16_preserves_year_resolution():
+    """The Date2Vec sub-path must run in f32 even under bf16 compute:
+    years ~2022 quantize to multiples of 8 in bf16 (2017..2027 collapse
+    onto 2016/2024), so a bf16 cast of the RAW date features would make
+    consecutive years produce identical embeddings/outputs."""
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    model = build_model(cfg, horizon=T)
+    x = jax.random.normal(KEY, (1, N, T, H, H, 1))
+    sup = _supports(N)
+
+    def feats(year):
+        return jnp.tile(
+            jnp.array([0, 0, 0, year, 9, 26], jnp.float32), (1, T, 1)
+        )
+
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats(2022), sup, train=False
+    )
+    y22 = model.apply(variables, x, feats(2022), sup, train=False)
+    y23 = model.apply(variables, x, feats(2023), sup, train=False)
+    # 2022 and 2023 both round to 2024 in bf16 — outputs must differ
+    assert np.any(np.asarray(y22) != np.asarray(y23))
