@@ -183,6 +183,14 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace capture target
     profile_steps: int = 5  # steps to trace when profiling
 
+    def __post_init__(self):
+        # a typo'd --grad_accum 0 would otherwise silently train with the
+        # one-shot step at full batch — and OOM with no hint why
+        if self.grad_accum < 1:
+            raise ValueError(
+                f"grad_accum must be >= 1, got {self.grad_accum}"
+            )
+
 
 @dataclass(frozen=True)
 class MeshConfig:

@@ -200,14 +200,27 @@ def download_county_rasters(
                 bearer=token,
                 variable=variable,
             )
-            for ts in dates:
-                day = raster.sel(time=ts.strftime("%Y-%m-%d"))[variable]
-                np.save(
-                    os.path.join(
-                        county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"
-                    ),
-                    np.asarray(day.values, dtype=np.float32),
-                )
+            _save_available_days(raster, dates, variable, county_dir)
+
+
+def _save_available_days(raster, dates, variable: str, county_dir: str):
+    """Save each requested day present in the returned raster as
+    {county_dir}/{Y}_{M}_{D}.npy; days with no upstream granule (the
+    usual cause of a partial download) are skipped, not KeyErrors.
+    Returns the dates actually saved."""
+    available = {str(t)[:10] for t in np.asarray(raster["time"].values)}
+    saved = []
+    for ts in dates:
+        key = ts.strftime("%Y-%m-%d")
+        if key not in available:
+            continue
+        day = raster.sel(time=key)[variable]
+        np.save(
+            os.path.join(county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"),
+            np.asarray(day.values, dtype=np.float32),
+        )
+        saved.append(ts.date() if hasattr(ts, "date") else ts)
+    return saved
 
 
 def _contiguous_runs(
@@ -234,7 +247,8 @@ def download_missing_dates(
     """Re-fetch only the dates each county directory is missing
     (reference download_missing_dates, eda/util.py:216-234) — the recovery
     path after a partial download_county_rasters run, instead of a full
-    re-download. Returns the per-county gap lists that were fetched."""
+    re-download. Returns, per county, the dates actually downloaded AND
+    saved (gap dates with no upstream granule are skipped, not counted)."""
     token = get_bearer_token()
     try:
         from blackmarble.raster import bm_raster  # type: ignore
@@ -261,7 +275,7 @@ def download_missing_dates(
         # ian/idalia ranges intersect) yield the same date from several
         # ranges — dedup so runs don't overlap and counts stay honest
         gaps = sorted(set(gaps))
-        fetched[county] = gaps
+        saved: List[datetime.date] = []
         for start, end in _contiguous_runs(gaps):
             dates = pd.date_range(start, end, freq="D")
             raster = bm_raster(
@@ -271,23 +285,15 @@ def download_missing_dates(
                 bearer=token,
                 variable=variable,
             )
-            # a gap date can be missing upstream too (no granule that
-            # day — the usual cause of the original partial download);
-            # skip those instead of wedging every future recovery run
-            available = {
-                str(t)[:10] for t in np.asarray(raster["time"].values)
-            }
-            for ts in dates:
-                key = ts.strftime("%Y-%m-%d")
-                if key not in available:
-                    continue
-                day = raster.sel(time=key)[variable]
-                np.save(
-                    os.path.join(
-                        county_dir, f"{ts.year}_{ts.month}_{ts.day}.npy"
-                    ),
-                    np.asarray(day.values, dtype=np.float32),
-                )
+            # days with no upstream granule (the usual cause of the
+            # original partial download) are skipped by the helper, not
+            # KeyErrors wedging every future recovery run; they stay
+            # detected as gaps, so a later run re-requests them — cheap
+            # idempotence, preferred over a local known-missing ledger
+            saved.extend(
+                _save_available_days(raster, dates, variable, county_dir)
+            )
+        fetched[county] = saved
     return fetched
 
 

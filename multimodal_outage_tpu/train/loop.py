@@ -41,10 +41,28 @@ from multimodal_outage_tpu.train.state import (
     param_count,
 )
 from multimodal_outage_tpu.train.steps import (
+    make_accum_train_step,
     make_eval_step,
     make_predict_step,
     make_train_step,
 )
+
+
+def _accum_split_count(b: int, mb_size: int) -> int:
+    """Smallest number of EQUAL microbatches of size <= mb_size that b
+    divides into (grad-accumulation splitting rule). Equal microbatches
+    keep the accumulation exact — mean of equal-chunk gradients == the
+    full-batch gradient and the serial-EMA BatchNorm telescopes — while
+    never running a chunk larger than the microbatch budget: a one-shot
+    near-full ragged tail would OOM on exactly the configs grad_accum
+    exists for (b=16 does not fit a 16 GB chip). Always terminates:
+    k=b gives microbatch size 1."""
+    if b <= mb_size:
+        return 1
+    k = -(-b // mb_size)  # ceil
+    while b % k:
+        k += 1
+    return k
 
 
 def _norm_county(name: str) -> str:
@@ -342,36 +360,29 @@ def fit(
         train_step = make_train_step(model, donate=cfg.train.donate_buffers)
         eval_step = make_eval_step(model)
         if cfg.train.grad_accum > 1:
-            # full-size batches run the accumulating step (one compiled
-            # program, microbatch-peak activation HBM); ragged tail
-            # batches (len % accum != 0) fall back to the one-shot step
-            # at their own (smaller, fitting) shape
-            from multimodal_outage_tpu.train.steps import (
-                make_accum_train_step,
-            )
-
             ga = cfg.train.grad_accum
             if cfg.train.batch_size % ga != 0:
                 raise ValueError(
                     f"batch_size {cfg.train.batch_size} not divisible by "
                     f"grad_accum {ga}"
                 )
-            accum_step = make_accum_train_step(
-                model, ga, donate=cfg.train.donate_buffers
-            )
+            mb_size = cfg.train.batch_size // ga
             one_shot = train_step
+            # one compiled accumulating program per split count; ragged
+            # tails reuse entries across epochs (the tail length is the
+            # same every epoch, so at most one extra compile per run)
+            accum_steps: dict = {}
 
             def train_step(state, batch, supports, lr, rng):  # noqa: F811
                 b = batch["x"].shape[0]
-                if b % ga == 0:
-                    mb = jax.tree.map(
-                        lambda a: a.reshape(
-                            (ga, b // ga) + tuple(a.shape[1:])
-                        ),
-                        batch,
+                k = _accum_split_count(b, mb_size)
+                if k == 1:
+                    return one_shot(state, batch, supports, lr, rng)
+                if k not in accum_steps:
+                    accum_steps[k] = make_accum_train_step(
+                        model, k, donate=cfg.train.donate_buffers
                     )
-                    return accum_step(state, mb, supports, lr, rng)
-                return one_shot(state, batch, supports, lr, rng)
+                return accum_steps[k](state, batch, supports, lr, rng)
 
     best_val = float("inf")
     best_epoch = -1

@@ -67,9 +67,10 @@ def make_accum_train_step(
     model, accum: int, donate: bool = True
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Gradient-accumulation train step: one compiled program consuming a
-    batch whose leaves are shaped [accum, b/accum, ...] and scanning the
-    microbatches serially, so peak activation HBM is that of ONE
-    microbatch while the update is the full batch's.
+    flat batch (leaves [b, ...], b divisible by `accum`), reshaping it to
+    [accum, b/accum, ...] in-program, and scanning the microbatches
+    serially, so peak activation HBM is that of ONE microbatch while the
+    update is the full batch's.
 
     This reproduces the reference's batch-16 training semantics
     (lit.py:213) EXACTLY on a chip where b=16 does not fit in one shot
@@ -94,11 +95,21 @@ def make_accum_train_step(
 
     def train_step(
         state: TrainState,
-        batch: Dict[str, jnp.ndarray],  # leaves [accum, mb, ...]
+        batch: Dict[str, jnp.ndarray],  # leaves [b, ...], b % accum == 0
         supports: Optional[jnp.ndarray],
         lr: jnp.ndarray,
         rng: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # reshape to [accum, b/accum, ...] INSIDE the jit: XLA aliases it
+        # for free, where an eager per-step tree.map would dispatch extra
+        # programs and hold a duplicate of x+y on HBM during the step
+        batch = jax.tree.map(
+            lambda a: a.reshape(
+                (accum, a.shape[0] // accum) + tuple(a.shape[1:])
+            ),
+            batch,
+        )
+
         def micro(carry, inp):
             bs, grads_acc = carry
             mb, k = inp

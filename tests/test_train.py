@@ -227,9 +227,9 @@ def test_grad_accum_step_matches_one_shot(tiny_cfg):
     sa, ma = make_train_step(model, donate=False)(
         state_a, batch, supports, jnp.float32(1e-3), rng
     )
-    mb2 = jax.tree.map(lambda a: a.reshape((2, 2) + a.shape[1:]), batch)
+    # the accum step takes the FLAT batch and reshapes in-program
     sb, mmb = make_accum_train_step(model, 2, donate=False)(
-        state_b, mb2, supports, jnp.float32(1e-3), rng
+        state_b, batch, supports, jnp.float32(1e-3), rng
     )
     # metrics: equal-weight means over equal microbatches == full-batch
     for k in ("loss", "mae", "rmse"):
@@ -258,9 +258,27 @@ def test_grad_accum_step_matches_one_shot(tiny_cfg):
         )
 
 
+def test_grad_accum_ragged_tail_never_exceeds_microbatch():
+    """Ragged tails must NOT fall back to a near-full one-shot step (it
+    would OOM on exactly the configs grad_accum exists for); they split
+    into the smallest number of EQUAL microbatches that fit."""
+    from multimodal_outage_tpu.train.loop import (
+        _accum_split_count as split_count,
+    )
+
+    # batch 16, grad_accum 2 => microbatch budget 8
+    assert split_count(16, 8) == 2
+    assert split_count(8, 8) == 1  # fits one-shot
+    assert split_count(15, 8) == 3  # 3x5, never a b=15 one-shot
+    assert split_count(13, 8) == 13  # prime tail: 13x1
+    for b in range(1, 33):
+        k = split_count(b, 8)
+        assert b % k == 0 and b // k <= 8
+
+
 def test_fit_with_grad_accum(tiny_cfg, tmp_path):
     """--grad_accum 2 through the real fit loop (incl. the ragged-tail
-    one-shot fallback) trains and returns finite metrics."""
+    equal-split path) trains and returns finite metrics."""
     import dataclasses as _dc
 
     from multimodal_outage_tpu.train.loop import fit
