@@ -153,14 +153,18 @@ def _e2e_store_dir() -> str:
     return _E2E_STORE["dir"]
 
 
-def _e2e_train_seconds(
-    b: int, steps: int, donate: bool = True, remat: bool = False,
+def make_e2e_setup(
+    b: int, donate: bool = True, remat: bool = False,
     bn_single_pass: bool = True, remat_scope: str = "all",
     pool: str = "reduce_window",
-) -> float:
-    """Seconds/step of the REAL training path (HBM-resident store, device
-    window gather + normalize + fused train step) at batch size b.
-    Raises BenchOOM when the config does not fit the chip's HBM."""
+):
+    """The REAL e2e training program, exactly as the headline bench
+    configures it: synthetic 67×128² store, HBM-resident DevicePipeline,
+    bf16 fusion model, fused train step. Single source of truth shared by
+    _e2e_train_seconds and the receipts generators (tools/dump_hlo.py,
+    tools/profile_step.py) so they can never drift onto different
+    programs. Returns a dict with store/ds/pipe/state/step/supports/
+    lr/rng/batch0/n_samples."""
     from multimodal_outage_tpu.core.registry import HURRICANES
     from multimodal_outage_tpu.data.dataset import WindowDataset
     from multimodal_outage_tpu.data.pipeline import DevicePipeline
@@ -179,14 +183,34 @@ def _e2e_train_seconds(
     model = build_model(model_cfg, horizon=t)
     supports = jnp.eye(n)[None]
     rng = jax.random.PRNGKey(0)
-    lr = jnp.float32(1e-3)
-    n_samples = len(ds)
+    pipe = DevicePipeline(store, 3.2, 10.4, s)
+    batch0 = pipe.batch(ds, np.arange(b))
+    state = create_train_state(model, rng, batch0, supports)
+    step = make_train_step(model, donate=donate)
+    return {
+        "store": store, "ds": ds, "pipe": pipe, "state": state,
+        "step": step, "supports": supports, "lr": jnp.float32(1e-3),
+        "rng": rng, "batch0": batch0, "n_samples": len(ds),
+    }
+
+
+def _e2e_train_seconds(
+    b: int, steps: int, donate: bool = True, remat: bool = False,
+    bn_single_pass: bool = True, remat_scope: str = "all",
+    pool: str = "reduce_window",
+) -> float:
+    """Seconds/step of the REAL training path (HBM-resident store, device
+    window gather + normalize + fused train step) at batch size b.
+    Raises BenchOOM when the config does not fit the chip's HBM."""
     try:
-        pipe = DevicePipeline(store, 3.2, 10.4, s)
-        batch0 = pipe.batch(ds, np.arange(b))
-        state = create_train_state(model, rng, batch0, supports)
-        step = make_train_step(model, donate=donate)
-        holder = {"state": state, "i": 0}
+        su = make_e2e_setup(
+            b, donate=donate, remat=remat, bn_single_pass=bn_single_pass,
+            remat_scope=remat_scope, pool=pool,
+        )
+        ds, pipe, step = su["ds"], su["pipe"], su["step"]
+        supports, lr, rng = su["supports"], su["lr"], su["rng"]
+        n_samples = su["n_samples"]
+        holder = {"state": su["state"], "i": 0}
 
         def run():
             batch = pipe.batch(
@@ -285,10 +309,12 @@ def bench_e2e_train(steps=15, b=8, remat=False) -> Dict:
 
     The default configuration (b=8, no remat) is the fastest cell of the
     measured b×remat grid on a 16 GB v5e (see bench_batch_scaling /
-    BENCHMARKS.md); b=16 (the reference's default batch, lit.py:213) only
-    fits WITH rematerialization and is slower per tile. Falls back to b/2
-    on OOM rather than crash — the driver needs ONE json line on whatever
-    chip it runs."""
+    BENCHMARKS.md); b=16 (the reference's default batch, lit.py:213) OOMs
+    a 16 GB chip plain AND with remat (all or stem scope) — it trains
+    only via --grad_accum (see the batch_scaling grid), at the b=8
+    per-tile rate.
+    Falls back by halving b on OOM (down to b=1) rather than crash — the
+    driver needs ONE json line on whatever chip it runs."""
     tried = []
     sec = None
     while sec is None:

@@ -123,6 +123,28 @@ def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 
+def shard_local_batch(
+    mesh: Mesh, local: Dict[str, Any], global_batch: int
+) -> Dict[str, Any]:
+    """Assemble mesh-sharded GLOBAL arrays from this process's LOCAL rows.
+
+    The efficient multi-host counterpart of shard_batch: callers gather
+    and preprocess only their own local_batch_slice of the batch
+    (1/n_proc of the rows — no full-batch compute or device round trip
+    per process), then this assembles the global array via
+    jax.make_array_from_process_local_data. Identical numerics to
+    shard_batch on the same global batch (tests/test_multihost.py runs
+    both paths); also works single-process, where local IS global."""
+    shardings = batch_shardings(mesh, local)
+    out = {}
+    for k, v in local.items():
+        v = np.ascontiguousarray(np.asarray(v))
+        out[k] = jax.make_array_from_process_local_data(
+            shardings[k], v, (global_batch,) + v.shape[1:]
+        )
+    return out
+
+
 def pad_batch(
     batch: Dict[str, Any], batch_size: int
 ) -> Dict[str, Any]:

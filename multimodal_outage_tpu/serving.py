@@ -121,6 +121,13 @@ class ServingModel:
                 dcrnn_stack = (
                     jax.default_backend() == "tpu" or interpret
                 ) and supports is not None
+            if dcrnn_stack and supports is None:
+                raise ValueError(
+                    "dcrnn_stack=True requires a supports array: the fused "
+                    "DCGRU kernel bakes the diffusion supports at engine "
+                    "build (pass supports=, or leave dcrnn_stack unset for "
+                    "the auto policy which falls back to the scan module)"
+                )
             self.dcrnn_stack = dcrnn_stack
             self._stack_sp = None
             if dcrnn_stack:
@@ -156,6 +163,12 @@ class ServingModel:
                 and g.gcn_bool
                 and (supports is not None or g.addaptadj)
                 and not g.reference_view_quirk
+            )
+        if gwnet_stack and supports is None and not g.addaptadj:
+            raise ValueError(
+                "gwnet_stack=True requires diffusion supports: pass "
+                "supports= or enable addaptadj (the fused kernel bakes "
+                "the support set at engine build)"
             )
         self.gwnet_stack = gwnet_stack
         self._stack_sp = None

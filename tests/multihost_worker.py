@@ -9,11 +9,12 @@ of the mesh's devices; with num_procs == 1 it runs the identical program
 single-process on a virtual 2-device mesh
 (XLA_FLAGS=--xla_force_host_platform_device_count=2, set by the test).
 Either way it executes 3 sharded train steps of the real fusion model
-through parallel.sharding.{shard_state, shard_batch,
+through parallel.sharding.{shard_state, shard_batch, shard_local_batch,
 make_sharded_train_step} — in the multi-process case the batch feeds
 through jax.make_array_from_process_local_data + core.mesh.
-local_batch_slice (the SURVEY §5 multi-host path) — and prints the loss
-trajectory as JSON for the test to compare across modes.
+local_batch_slice (the SURVEY §5 multi-host path), alternating the
+global-batch and local-rows feeding variants so both execute — and
+prints the loss trajectory as JSON for the test to compare across modes.
 """
 
 import json
@@ -37,9 +38,11 @@ import numpy as np
 from multimodal_outage_tpu.core.config import ModelConfig
 from multimodal_outage_tpu.core.mesh import make_mesh
 from multimodal_outage_tpu.models.fusion import build_model
+from multimodal_outage_tpu.core.mesh import local_batch_slice
 from multimodal_outage_tpu.parallel.sharding import (
     make_sharded_train_step,
     shard_batch,
+    shard_local_batch,
     shard_state,
 )
 from multimodal_outage_tpu.train.state import create_train_state
@@ -78,7 +81,17 @@ def main() -> None:
 
     losses = []
     for i in range(3):
-        batch = shard_batch(mesh, global_batch(i))
+        gb = global_batch(i)
+        if i % 2 == 0:
+            batch = shard_batch(mesh, gb)
+        else:
+            # the efficient feeding path: each process passes ONLY its
+            # local rows (what train.loop._mesh_epoch_iter does multi-host)
+            b = gb["x"].shape[0]
+            sl = local_batch_slice(b, mesh)
+            batch = shard_local_batch(
+                mesh, {k: v[sl] for k, v in gb.items()}, b
+            )
         state, metrics = step(state, batch, supports, lr, rng)
         losses.append(float(metrics["loss"]))
     print("RESULT " + json.dumps({"proc": proc_id, "losses": losses}),

@@ -97,7 +97,11 @@ def test_two_process_training_matches_single_process():
     ref = _parse_losses(single)
 
     # same mesh shape, same global batches; only the collective transport
-    # differs (gloo cross-process vs in-process) — tolerance is f32 ULP
-    np.testing.assert_allclose(multi[0], ref, rtol=2e-6)
+    # (gloo cross-process vs in-process) and input-array assembly
+    # (make_array_from_process_local_data vs device_put) differ. Both can
+    # reorder f32 reductions at ULP scale, and two Adam steps amplify
+    # that (observed worst case 2.4e-6 rel); a real feeding bug (wrong
+    # rows) moves the loss at the 1e-1 scale, far above this bound.
+    np.testing.assert_allclose(multi[0], ref, rtol=1e-5)
     # and training actually progressed
     assert ref[-1] < ref[0]

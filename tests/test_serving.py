@@ -75,6 +75,22 @@ def test_fold_batchnorm():
     )
 
 
+def test_serving_stack_requires_supports():
+    """Explicitly requesting a fused stack kernel without the supports it
+    must bake raises a descriptive error, not an AttributeError deep in
+    the engine build."""
+    from dataclasses import replace
+
+    dummy = {"params": {}, "batch_stats": {}}
+    cfg = ModelConfig(st_gnn="dcrnn", compute_dtype="float32")
+    with pytest.raises(ValueError, match="supports"):
+        ServingModel(cfg, dummy, None, horizon=2, dcrnn_stack=True)
+    gcfg = ModelConfig(compute_dtype="float32")
+    gcfg = replace(gcfg, gwnet=replace(gcfg.gwnet, addaptadj=False))
+    with pytest.raises(ValueError, match="supports"):
+        ServingModel(gcfg, dummy, None, horizon=2, gwnet_stack=True)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_serving_matches_flax_eval(use_pallas):

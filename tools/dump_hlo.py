@@ -18,34 +18,13 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/step_hlo.txt")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from multimodal_outage_tpu import benchmarks as B
-    from multimodal_outage_tpu.core.config import ModelConfig
-    from multimodal_outage_tpu.core.registry import HURRICANES
-    from multimodal_outage_tpu.data.dataset import WindowDataset
-    from multimodal_outage_tpu.data.pipeline import DevicePipeline
-    from multimodal_outage_tpu.data.store import load_store
-    from multimodal_outage_tpu.models.fusion import build_model
-    from multimodal_outage_tpu.train.state import create_train_state
-    from multimodal_outage_tpu.train.steps import make_train_step
 
-    t, s, b = 7, 128, args.batch
-    store = load_store(B._e2e_store_dir())
-    ds = WindowDataset.from_case_study(
-        store, HURRICANES, dataset_range=15, horizon=t
-    )
-    n = store.n_counties
-    model = build_model(ModelConfig(compute_dtype="bfloat16"), horizon=t)
-    supports = jnp.eye(n)[None]
-    rng = jax.random.PRNGKey(0)
-    pipe = DevicePipeline(store, 3.2, 10.4, s)
-    batch0 = pipe.batch(ds, np.arange(b))
-    state = create_train_state(model, rng, batch0, supports)
-    step = make_train_step(model, donate=False)
-    lowered = step.lower(state, batch0, supports, jnp.float32(1e-3), rng)
+    # the EXACT program the headline bench runs (shared setup; see
+    # benchmarks.make_e2e_setup — keeps this receipt from drifting)
+    su = B.make_e2e_setup(args.batch, donate=False)
+    step, state, batch0 = su["step"], su["state"], su["batch0"]
+    lowered = step.lower(state, batch0, su["supports"], su["lr"], su["rng"])
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(args.out, "w") as f:

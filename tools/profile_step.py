@@ -53,16 +53,20 @@ def _is_async(name: str) -> bool:
     return any(n.startswith(a) for a in _ASYNC)
 
 
-def _union_len(intervals) -> float:
-    total, last_end = 0.0, None
+def _merge(intervals):
+    """Sorted, disjoint union of [start, end) intervals — the ONE merge
+    routine behind both busy time and stall computation."""
+    flat = []
     for s, e in sorted(intervals):
-        if last_end is None or s > last_end:
-            total += e - s
-            last_end = e
-        elif e > last_end:
-            total += e - last_end
-            last_end = e
-    return total
+        if flat and s <= flat[-1][1]:
+            flat[-1][1] = max(flat[-1][1], e)
+        else:
+            flat.append([s, e])
+    return flat
+
+
+def _union_len(intervals) -> float:
+    return sum(e - s for s, e in _merge(intervals))
 
 
 def parse_xplane(profile_dir: str, top: int):
@@ -99,15 +103,6 @@ def parse_xplane(profile_dir: str, top: int):
                 occurrences[name] += 1
                 sync_iv.append((start, end))
 
-    def _merge(iv):
-        flat = []
-        for s, e in sorted(iv):
-            if flat and s <= flat[-1][1]:
-                flat[-1][1] = max(flat[-1][1], e)
-            else:
-                flat.append([s, e])
-        return flat
-
     busy = _union_len(sync_iv)
     # async DMA time NOT hidden under sync compute = true copy stall:
     # |union(async) \ union(sync)|
@@ -142,37 +137,19 @@ def main() -> None:
 
     if not args.parse_only:
         import jax
-        import jax.numpy as jnp
         import numpy as np
 
         from multimodal_outage_tpu import benchmarks as B
-        from multimodal_outage_tpu.core.config import ModelConfig
-        from multimodal_outage_tpu.core.registry import HURRICANES
-        from multimodal_outage_tpu.data.dataset import WindowDataset
-        from multimodal_outage_tpu.data.pipeline import DevicePipeline
-        from multimodal_outage_tpu.data.store import load_store
-        from multimodal_outage_tpu.models.fusion import build_model
-        from multimodal_outage_tpu.train.state import create_train_state
-        from multimodal_outage_tpu.train.steps import make_train_step
 
-        t, s, b = 7, 128, args.batch
-        store = load_store(B._e2e_store_dir())
-        ds = WindowDataset.from_case_study(
-            store, HURRICANES, dataset_range=15, horizon=t
+        # the EXACT program the headline bench runs (shared setup; see
+        # benchmarks.make_e2e_setup — keeps this receipt from drifting)
+        b = args.batch
+        su = B.make_e2e_setup(
+            b, donate=False, bn_single_pass=not args.bn_two_pass
         )
-        n = store.n_counties
-        model_cfg = ModelConfig(
-            compute_dtype="bfloat16",
-            bn_single_pass=not args.bn_two_pass,
-        )
-        model = build_model(model_cfg, horizon=t)
-        supports = jnp.eye(n)[None]
-        rng = jax.random.PRNGKey(0)
-        lr = jnp.float32(1e-3)
-        pipe = DevicePipeline(store, 3.2, 10.4, s)
-        batch0 = pipe.batch(ds, np.arange(b))
-        state = create_train_state(model, rng, batch0, supports)
-        step = make_train_step(model, donate=False)
+        ds, pipe, step = su["ds"], su["pipe"], su["step"]
+        state, supports = su["state"], su["supports"]
+        lr, rng = su["lr"], su["rng"]
 
         def run(state, i):
             batch = pipe.batch(ds, (np.arange(b) + i) % (len(ds) - b))
