@@ -93,6 +93,12 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "(--batch_size 16 --grad_accum 2)",
     )
     p.add_argument(
+        "--xla_vmem_limit_kib", type=int, default=49152,
+        help="scoped-VMEM fusion budget (KiB) passed to the TPU compiler "
+        "for the train step (49152 measured +1.0%% over the 16 MiB "
+        "default — BENCHMARKS.md); 0 keeps the compiler default",
+    )
+    p.add_argument(
         "--pool", choices=["reduce_window", "pairwise"],
         default="reduce_window",
         help="2×2 max-pool lowering (reduce_window: flax nn.max_pool, "
@@ -146,6 +152,7 @@ def _build_config(args):
         epochs=getattr(args, "epochs", 5),
         batch_size=args.batch_size,
         grad_accum=getattr(args, "grad_accum", 1),
+        xla_vmem_limit_kib=getattr(args, "xla_vmem_limit_kib", 49152),
         job_id=getattr(args, "job_id", "test"),
         seed=getattr(args, "seed", 42),
         resume=getattr(args, "resume", False),

@@ -178,6 +178,11 @@ class TrainConfig:
     # how the reference's default batch 16 (lit.py:213) trains on a chip
     # where b=16 does not fit in one shot (single-device path only):
     grad_accum: int = 1
+    # Scoped-VMEM fusion budget (KiB) passed as a jit compiler option on
+    # TPU (train/steps.py:default_compiler_options): 49152 measured +1.0%
+    # train throughput over the 16 MiB compiler default (BENCHMARKS.md
+    # "XLA compiler-options sweep"). 0 = compiler default.
+    xla_vmem_limit_kib: int = 49152
     resume: bool = False  # continue from the latest checkpoint in run dir
     debug_nans: bool = False  # jax_debug_nans numerical sanitizer (SURVEY §5)
     profile_dir: Optional[str] = None  # jax.profiler trace capture target

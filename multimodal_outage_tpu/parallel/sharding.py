@@ -201,7 +201,8 @@ def make_sharded_eval_step(model, mesh: Mesh, state: TrainState):
 
 
 def make_sharded_train_step(
-    model, mesh: Mesh, state: TrainState, donate=True, weighted=False
+    model, mesh: Mesh, state: TrainState, donate=True, weighted=False,
+    compiler_options="auto",
 ):
     """jit-compiled SPMD train step with explicit in/out shardings.
 
@@ -215,7 +216,10 @@ def make_sharded_train_step(
     compiled shape.
     """
     from multimodal_outage_tpu.core import metrics as M
+    from multimodal_outage_tpu.train.steps import default_compiler_options
 
+    if compiler_options == "auto":
+        compiler_options = default_compiler_options()
     tx = make_optimizer()
 
     def train_step(state, batch, supports, lr, rng):
@@ -275,4 +279,5 @@ def make_sharded_train_step(
         in_shardings=(st_shard, batch_shard, repl, repl, repl),
         out_shardings=(st_shard, metric_shard),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )

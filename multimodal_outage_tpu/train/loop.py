@@ -41,11 +41,18 @@ from multimodal_outage_tpu.train.state import (
     param_count,
 )
 from multimodal_outage_tpu.train.steps import (
+    default_compiler_options,
     make_accum_train_step,
     make_eval_step,
     make_predict_step,
     make_train_step,
 )
+
+
+def _compile_opts(cfg: Config):
+    """Config-resolved XLA compiler options for the train step (TPU-only;
+    see steps.default_compiler_options)."""
+    return default_compiler_options(cfg.train.xla_vmem_limit_kib)
 
 
 def _accum_split_count(b: int, mb_size: int) -> int:
@@ -369,11 +376,15 @@ def fit(
         state = shard_state(mesh, state)
         supports = jax.device_put(supports, NamedSharding(mesh, P()))
         train_step = make_sharded_train_step(
-            model, mesh, state, donate=cfg.train.donate_buffers, weighted=True
+            model, mesh, state, donate=cfg.train.donate_buffers, weighted=True,
+            compiler_options=_compile_opts(cfg),
         )
         eval_step = make_sharded_eval_step(model, mesh, state)
     else:
-        train_step = make_train_step(model, donate=cfg.train.donate_buffers)
+        train_step = make_train_step(
+            model, donate=cfg.train.donate_buffers,
+            compiler_options=_compile_opts(cfg),
+        )
         eval_step = make_eval_step(model)
         if cfg.train.grad_accum > 1:
             ga = cfg.train.grad_accum
@@ -396,7 +407,8 @@ def fit(
                     return one_shot(state, batch, supports, lr, rng)
                 if k not in accum_steps:
                     accum_steps[k] = make_accum_train_step(
-                        model, k, donate=cfg.train.donate_buffers
+                        model, k, donate=cfg.train.donate_buffers,
+                        compiler_options=_compile_opts(cfg),
                     )
                 return accum_steps[k](state, batch, supports, lr, rng)
 

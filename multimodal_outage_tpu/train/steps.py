@@ -18,9 +18,32 @@ from multimodal_outage_tpu.core import metrics as M
 from multimodal_outage_tpu.train.state import TrainState, make_optimizer
 
 
+def default_compiler_options(vmem_limit_kib: int = 49152):
+    """Measured-default XLA options for the fused train step.
+
+    jit compiler_options are the only way to set xla_tpu_* options in
+    this deployment: the axon client fatally aborts on unknown XLA_FLAGS
+    env entries, but compiler_options travel inside the compile RPC to
+    the remote compile service, which parses them (bogus names are
+    rejected server-side — benchmarks.bench_xla_flag_sweep). Raising the
+    scoped-VMEM fusion budget from the 16 MiB default to 48 MiB measured
+    +1.0% train throughput, reproduced across two interleaved A/Bs
+    (32/48 MiB win, 64 MiB fades, 96 MiB is rejected — BENCHMARKS.md
+    "XLA compiler-options sweep"). Returns None off-TPU (other backends
+    reject xla_tpu_* options) or when vmem_limit_kib is falsy."""
+    if vmem_limit_kib and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": str(int(vmem_limit_kib))}
+    return None
+
+
 def make_train_step(
-    model, donate: bool = True
+    model, donate: bool = True, compiler_options="auto"
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """compiler_options: dict of XLA options for jax.jit, None for the
+    compiler defaults, or "auto" (default) for default_compiler_options().
+    """
+    if compiler_options == "auto":
+        compiler_options = default_compiler_options()
     tx = make_optimizer()
 
     def train_step(
@@ -60,11 +83,15 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(
+        train_step,
+        donate_argnums=donate_argnums,
+        compiler_options=compiler_options,
+    )
 
 
 def make_accum_train_step(
-    model, accum: int, donate: bool = True
+    model, accum: int, donate: bool = True, compiler_options="auto"
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Gradient-accumulation train step: one compiled program consuming a
     flat batch (leaves [b, ...], b divisible by `accum`), reshaping it to
@@ -90,7 +117,8 @@ def make_accum_train_step(
 
     Metrics are equal-weight means over microbatches == full-batch means.
     """
-
+    if compiler_options == "auto":
+        compiler_options = default_compiler_options()
     tx = make_optimizer()
 
     def train_step(
@@ -159,7 +187,11 @@ def make_accum_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(
+        train_step,
+        donate_argnums=donate_argnums,
+        compiler_options=compiler_options,
+    )
 
 
 def make_eval_step(model) -> Callable[..., Dict[str, jnp.ndarray]]:
