@@ -294,3 +294,25 @@ def test_fit_with_grad_accum(tiny_cfg, tmp_path):
     )
     out = fit(cfg, progress=False)
     assert np.isfinite(out["val_loss"])
+
+
+def test_default_compiler_options_gating():
+    """The scoped-VMEM jit option applies on TPU only (other backends
+    reject xla_tpu_* options) and 0 restores the compiler default."""
+    from unittest import mock
+
+    from multimodal_outage_tpu.core.config import TrainConfig
+    from multimodal_outage_tpu.train.steps import default_compiler_options
+
+    # this suite runs CPU-forced: must resolve to None
+    assert default_compiler_options() is None
+    assert default_compiler_options(0) is None
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert default_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "49152"
+        }
+        assert default_compiler_options(32768) == {
+            "xla_tpu_scoped_vmem_limit_kib": "32768"
+        }
+        assert default_compiler_options(0) is None
+    assert TrainConfig().xla_vmem_limit_kib == 49152
