@@ -121,17 +121,11 @@ class BenchOOM(RuntimeError):
     """A benchmark config exhausted device memory."""
 
 
-_OOM_MARKERS = (
-    "RESOURCE_EXHAUSTED",  # runtime allocation failure
-    "ResourceExhausted",
-    "Ran out of memory",  # compile-time HBM budget failure (the tunneled
-    "Largest program allocations",  # backend wraps it in INTERNAL/HTTP 500)
+# shared with the trainer's --grad_accum auto fallback (core/oom.py)
+from multimodal_outage_tpu.core.oom import (  # noqa: E402
+    OOM_MARKERS as _OOM_MARKERS,
+    is_oom_error as _is_oom,
 )
-
-
-def _is_oom(e: Exception) -> bool:
-    msg = str(e)
-    return any(m in msg for m in _OOM_MARKERS)
 
 
 _E2E_STORE: dict = {}
@@ -945,6 +939,89 @@ def bench_serving(steps=20) -> Dict:
     }
 
 
+def bench_conv_layout(steps=12) -> Dict:
+    """VERDICT r2 #1 lever (b): conv dimension_numbers / input layout,
+    isolated on the exact stem shapes where the profile's relayout
+    copies live ([3752,128,128,1→4→4] DoubleConv + 2×2 maxpool, fwd+bwd
+    at the headline's conv batch). The full model is NHWC (flax);
+    re-plumbing it per layout is only worth doing if some layout wins in
+    isolation, so this is the go/no-go receipt. Variants (interleaved,
+    same-noise):
+
+      nhwc        ('NHWC','HWIO','NHWC') — what the model does today
+      nchw        ('NCHW','OIHW','NCHW'), input pre-transposed OUTSIDE
+                  the timed region (upper bound for a channels-first
+                  re-plumb of the whole model)
+      nchw_xpose  same, but transposing at the jit boundary (the honest
+                  cost if only the stem switched layouts)
+    """
+    from functools import partial
+
+    m, s = 3752, 128
+    key = jax.random.PRNGKey(0)
+    x_nhwc = jax.random.normal(key, (m, s, s, 1), jnp.bfloat16)
+    x_nchw = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    k1 = jax.random.normal(key, (3, 3, 1, 4), jnp.bfloat16) * 0.2
+    k2 = jax.random.normal(key, (3, 3, 4, 4), jnp.bfloat16) * 0.2
+
+    def stem(x, w1, w2, dn, kfmt):
+        if kfmt == "OIHW":
+            w1t, w2t = (jnp.transpose(w, (3, 2, 0, 1)) for w in (w1, w2))
+        else:
+            w1t, w2t = w1, w2
+        y = jax.lax.conv_general_dilated(
+            x, w1t, (1, 1), "SAME", dimension_numbers=dn
+        )
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, w2t, (1, 1), "SAME", dimension_numbers=dn
+        )
+        y = jax.nn.relu(y)
+        if dn[0] == "NHWC":
+            win, st = (1, 2, 2, 1), (1, 2, 2, 1)
+        else:
+            win, st = (1, 1, 2, 2), (1, 1, 2, 2)
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, win, st, "VALID"
+        )
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    def loss_fn(x, w1, w2, dn, kfmt):
+        return stem(x, w1, w2, dn, kfmt)
+
+    nhwc_dn = ("NHWC", "HWIO", "NHWC")
+    nchw_dn = ("NCHW", "OIHW", "NCHW")
+    g_nhwc = jax.jit(jax.grad(
+        partial(loss_fn, dn=nhwc_dn, kfmt="HWIO"), argnums=(1, 2)
+    ))
+    g_nchw = jax.jit(jax.grad(
+        partial(loss_fn, dn=nchw_dn, kfmt="OIHW"), argnums=(1, 2)
+    ))
+
+    def loss_xpose(x, w1, w2):
+        return loss_fn(
+            jnp.transpose(x, (0, 3, 1, 2)), w1, w2, nchw_dn, "OIHW"
+        )
+
+    g_xpose = jax.jit(jax.grad(loss_xpose, argnums=(1, 2)))
+
+    fns = {
+        "nhwc": lambda: g_nhwc(x_nhwc, k1, k2)[0],
+        "nchw": lambda: g_nchw(x_nchw, k1, k2)[0],
+        "nchw_xpose": lambda: g_xpose(x_nhwc, k1, k2)[0],
+    }
+    res = _interleaved_ab(fns, steps)
+    detail = {name: round(1e3 * sec, 3) for name, sec in res.items()}
+    best = min(detail, key=detail.get)
+    return {
+        "metric": "stem_conv_layout_ms",
+        "value": detail["nhwc"],
+        "unit": f"ms fwd+bwd, stem DoubleConv+pool (best {best})",
+        "vs_baseline": round(detail["nhwc"] / detail[best], 3),
+        "detail": detail,
+    }
+
+
 def bench_fused_stack(steps=10) -> Dict:
     """BASELINE config 3: Date2Vec + U-Net fused stack, 8-frame window."""
     r = _train_throughput(b=2, n=16, t=8, s=128, steps=steps)
@@ -1023,6 +1100,7 @@ _BENCHMARKS = {
     "gwnet_stack": bench_gwnet_stack,
     "dcrnn_stack": bench_dcrnn_stack,
     "layout_matrix": bench_layout_matrix,
+    "conv_layout": bench_conv_layout,
     "xla_flag_sweep": bench_xla_flag_sweep,
     "fused_stack": bench_fused_stack,
     "multimodal_fusion": bench_multimodal_fusion,

@@ -18,6 +18,19 @@ import os
 import sys
 
 
+def _grad_accum_arg(v: str) -> int:
+    """--grad_accum value: a positive int, or 'auto' (= 0 internally,
+    TrainConfig.grad_accum) for OOM-driven microbatch halving."""
+    if v.strip().lower() == "auto":
+        return 0
+    try:
+        return int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {v!r}"
+        ) from None
+
+
 def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--st_gnn", type=str, default="gwnet", help="gwnet|dcrnn")
     p.add_argument("--horizon", type=int, default=7)
@@ -85,12 +98,13 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "activations that dominate HBM; 'all' checkpoints every block",
     )
     p.add_argument(
-        "--grad_accum", type=int, default=1,
+        "--grad_accum", type=_grad_accum_arg, default=1,
         help="split each batch into N serially-scanned microbatches in one "
         "compiled step: peak activation HBM of one microbatch, exact "
         "full-batch gradients and serial-EMA BatchNorm running stats — "
         "trains the reference's default batch 16 on a 16 GB chip "
-        "(--batch_size 16 --grad_accum 2)",
+        "(--batch_size 16 --grad_accum 2). 'auto' (or 0) starts one-shot "
+        "and halves the microbatch on device OOM until the step fits",
     )
     p.add_argument(
         "--xla_vmem_limit_kib", type=int, default=49152,

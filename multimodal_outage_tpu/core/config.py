@@ -176,7 +176,9 @@ class TrainConfig:
     # activation HBM drops to one microbatch's while gradients and the
     # serial-EMA BatchNorm running stats are EXACTLY the full batch's —
     # how the reference's default batch 16 (lit.py:213) trains on a chip
-    # where b=16 does not fit in one shot (single-device path only):
+    # where b=16 does not fit in one shot (single-device path only).
+    # 0 = auto: start one-shot and halve the microbatch on device OOM
+    # (train/loop.py — any batch size trains without hand-tuning):
     grad_accum: int = 1
     # Scoped-VMEM fusion budget (KiB) passed as a jit compiler option on
     # TPU (train/steps.py:default_compiler_options): 49152 measured +1.0%
@@ -189,11 +191,10 @@ class TrainConfig:
     profile_steps: int = 5  # steps to trace when profiling
 
     def __post_init__(self):
-        # a typo'd --grad_accum 0 would otherwise silently train with the
-        # one-shot step at full batch — and OOM with no hint why
-        if self.grad_accum < 1:
+        if self.grad_accum < 0:
             raise ValueError(
-                f"grad_accum must be >= 1, got {self.grad_accum}"
+                f"grad_accum must be >= 1, or 0 for auto; "
+                f"got {self.grad_accum}"
             )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from typing import Dict, Optional, Tuple
 
@@ -23,6 +24,7 @@ from multimodal_outage_tpu.core import metrics as M
 from multimodal_outage_tpu.core.checkpoint import CheckpointManager
 from multimodal_outage_tpu.core.config import Config, asdict
 from multimodal_outage_tpu.core.mesh import DATA_AXIS, mesh_from_config
+from multimodal_outage_tpu.core.oom import is_oom_error
 from multimodal_outage_tpu.core.registry import leave_one_out
 from multimodal_outage_tpu.core.run_logging import RunLogger, device_memory_stats
 from multimodal_outage_tpu.data import adjacency
@@ -329,10 +331,11 @@ def fit(
                 f"horizon {cfg.data.horizon} not divisible by mesh time "
                 f"axis {sp}"
             )
-        if cfg.train.grad_accum > 1:
+        if cfg.train.grad_accum != 1:
             raise ValueError(
-                "grad_accum is a single-device-path feature; with a mesh, "
-                "scale batch over the data axis instead"
+                "grad_accum (including auto) is a single-device-path "
+                "feature; with a mesh, scale batch over the data axis "
+                "instead"
             )
         if progress:
             print(f"SPMD mesh: {dict(mesh.shape)}")
@@ -386,31 +389,67 @@ def fit(
             compiler_options=_compile_opts(cfg),
         )
         eval_step = make_eval_step(model)
-        if cfg.train.grad_accum > 1:
+        if cfg.train.grad_accum != 1:
             ga = cfg.train.grad_accum
-            if cfg.train.batch_size % ga != 0:
-                raise ValueError(
-                    f"batch_size {cfg.train.batch_size} not divisible by "
-                    f"grad_accum {ga}"
-                )
-            mb_size = cfg.train.batch_size // ga
+            auto_accum = ga == 0  # --grad_accum auto
+            if auto_accum:
+                mb_budget = [cfg.train.batch_size]  # start one-shot
+            else:
+                if cfg.train.batch_size % ga != 0:
+                    raise ValueError(
+                        f"batch_size {cfg.train.batch_size} not divisible "
+                        f"by grad_accum {ga}"
+                    )
+                mb_budget = [cfg.train.batch_size // ga]
             one_shot = train_step
             # one compiled accumulating program per split count; ragged
             # tails reuse entries across epochs (the tail length is the
             # same every epoch, so at most one extra compile per run)
-            accum_steps: dict = {}
+            accum_steps: dict = {1: one_shot}
 
             def train_step(state, batch, supports, lr, rng):  # noqa: F811
                 b = batch["x"].shape[0]
-                k = _accum_split_count(b, mb_size)
-                if k == 1:
-                    return one_shot(state, batch, supports, lr, rng)
-                if k not in accum_steps:
-                    accum_steps[k] = make_accum_train_step(
-                        model, k, donate=cfg.train.donate_buffers,
-                        compiler_options=_compile_opts(cfg),
-                    )
-                return accum_steps[k](state, batch, supports, lr, rng)
+                while True:
+                    k = _accum_split_count(b, mb_budget[0])
+                    if k not in accum_steps:
+                        accum_steps[k] = make_accum_train_step(
+                            model, k, donate=cfg.train.donate_buffers,
+                            compiler_options=_compile_opts(cfg),
+                        )
+                    try:
+                        return accum_steps[k](state, batch, supports, lr, rng)
+                    except Exception as e:  # auto mode: halve on OOM
+                        if not (
+                            auto_accum
+                            and is_oom_error(e)
+                            and mb_budget[0] > 1
+                        ):
+                            raise
+                        # with donated buffers a RUNTIME OOM may already
+                        # have consumed the state; only a pre-execution
+                        # (compile-time) OOM leaves it retryable
+                        if any(
+                            getattr(leaf, "is_deleted", lambda: False)()
+                            for leaf in jax.tree_util.tree_leaves(
+                                state.params
+                            )
+                        ):
+                            raise RuntimeError(
+                                "auto grad_accum cannot retry: the failing "
+                                "step consumed its donated train state "
+                                "(runtime OOM). Restart with an explicit "
+                                f"--grad_accum >= {2 * (cfg.train.batch_size // mb_budget[0])} "
+                                "or --batch_size <= "
+                                f"{mb_budget[0] // 2}"
+                            ) from e
+                        mb_budget[0] = max(1, mb_budget[0] // 2)
+                        print(
+                            f"[auto grad_accum] step OOM'd; retrying with "
+                            f"microbatch <= {mb_budget[0]} "
+                            f"({_accum_split_count(b, mb_budget[0])} "
+                            f"microbatches at batch {b})",
+                            file=sys.stderr,
+                        )
 
     best_val = float("inf")
     best_epoch = -1

@@ -296,6 +296,98 @@ def test_fit_with_grad_accum(tiny_cfg, tmp_path):
     assert np.isfinite(out["val_loss"])
 
 
+def test_fit_auto_grad_accum_falls_back_on_oom(
+    tiny_cfg, tmp_path, monkeypatch, capsys
+):
+    """--grad_accum auto (config 0): the one-shot step OOMs (simulated
+    with the real backend error message shape), the loop halves the
+    microbatch budget and finishes the epoch through the accumulating
+    step — any batch size trains without hand-tuning."""
+    import dataclasses as _dc
+
+    from multimodal_outage_tpu.train import loop as L
+    from multimodal_outage_tpu.train.steps import make_train_step as real_make
+
+    oom_raises = {"n": 0}
+
+    def oom_make(model, donate=True, compiler_options="auto"):
+        real = real_make(
+            model, donate=donate, compiler_options=compiler_options
+        )
+
+        def step(state, batch, supports, lr, rng):
+            # full batches "exceed HBM"; the halved microbatches fit
+            if batch["x"].shape[0] >= 4:
+                oom_raises["n"] += 1
+                raise RuntimeError(
+                    "INTERNAL: remote_compile: HTTP 500 ... Ran out of "
+                    "memory in memory space hbm (simulated)"
+                )
+            return real(state, batch, supports, lr, rng)
+
+        return step
+
+    monkeypatch.setattr(L, "make_train_step", oom_make)
+    cfg = tiny_cfg.replace(
+        train=_dc.replace(
+            tiny_cfg.train,
+            epochs=1,
+            batch_size=4,
+            grad_accum=0,  # auto
+            checkpoint_dir=str(tmp_path),
+            job_id="auto",
+        )
+    )
+    out = L.fit(cfg, progress=False)
+    assert np.isfinite(out["val_loss"])
+    assert oom_raises["n"] >= 1  # the fallback actually engaged
+    assert "[auto grad_accum]" in capsys.readouterr().err
+
+
+def test_fit_auto_grad_accum_reraises_non_oom(tiny_cfg, tmp_path, monkeypatch):
+    """auto mode must not swallow non-OOM step failures."""
+    import dataclasses as _dc
+
+    from multimodal_outage_tpu.train import loop as L
+
+    def broken_make(model, donate=True, compiler_options="auto"):
+        def step(state, batch, supports, lr, rng):
+            raise RuntimeError("INVALID_ARGUMENT: shapes are wrong")
+
+        return step
+
+    monkeypatch.setattr(L, "make_train_step", broken_make)
+    cfg = tiny_cfg.replace(
+        train=_dc.replace(
+            tiny_cfg.train,
+            epochs=1,
+            batch_size=2,
+            grad_accum=0,
+            checkpoint_dir=str(tmp_path),
+            job_id="auto2",
+        )
+    )
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        L.fit(cfg, progress=False)
+
+
+def test_grad_accum_flag_parsing():
+    """CLI 'auto' maps to config 0; negatives rejected at config level."""
+    import argparse
+
+    from multimodal_outage_tpu.cli import _grad_accum_arg
+    from multimodal_outage_tpu.core.config import TrainConfig
+
+    assert _grad_accum_arg("auto") == 0
+    assert _grad_accum_arg("AUTO") == 0
+    assert _grad_accum_arg("2") == 2
+    with pytest.raises(argparse.ArgumentTypeError):
+        _grad_accum_arg("fast")
+    assert TrainConfig(grad_accum=0).grad_accum == 0  # auto is valid
+    with pytest.raises(ValueError):
+        TrainConfig(grad_accum=-1)
+
+
 def test_default_compiler_options_gating():
     """The scoped-VMEM jit option applies on TPU only (other backends
     reject xla_tpu_* options) and 0 restores the compiler default."""
