@@ -344,6 +344,44 @@ def test_fit_auto_grad_accum_falls_back_on_oom(
     assert "[auto grad_accum]" in capsys.readouterr().err
 
 
+def test_fit_auto_grad_accum_donated_state_aborts(
+    tiny_cfg, tmp_path, monkeypatch
+):
+    """A RUNTIME OOM that already consumed the donated train state must
+    abort with a restart hint, not retry on deleted buffers (which would
+    crash with an opaque 'array has been deleted' error mid-retry)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from multimodal_outage_tpu.train import loop as L
+
+    def consuming_make(model, donate=True, compiler_options="auto"):
+        def step(state, batch, supports, lr, rng):
+            # simulate donation: the failing execution consumed its inputs
+            for leaf in jax.tree_util.tree_leaves(state.params):
+                leaf.delete()
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: out of memory allocating (simulated)"
+            )
+
+        return step
+
+    monkeypatch.setattr(L, "make_train_step", consuming_make)
+    cfg = tiny_cfg.replace(
+        train=_dc.replace(
+            tiny_cfg.train,
+            epochs=1,
+            batch_size=4,
+            grad_accum=0,
+            checkpoint_dir=str(tmp_path),
+            job_id="auto3",
+        )
+    )
+    with pytest.raises(RuntimeError, match="cannot retry"):
+        L.fit(cfg, progress=False)
+
+
 def test_fit_auto_grad_accum_reraises_non_oom(tiny_cfg, tmp_path, monkeypatch):
     """auto mode must not swallow non-OOM step failures."""
     import dataclasses as _dc
