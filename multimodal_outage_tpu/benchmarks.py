@@ -1022,6 +1022,90 @@ def bench_conv_layout(steps=12) -> Dict:
     }
 
 
+# Peak hardware rates for the speed-of-light floor, by device_kind
+# substring. Public numbers: bf16 matmul TFLOP/s and HBM GB/s.
+_PEAKS = {
+    "v5 lite": (197e12, 819e9),  # TPU v5e
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),  # Trillium
+}
+
+
+def _device_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peaks in _PEAKS.items():
+        if sub in kind:
+            return kind, peaks
+    return kind, (None, None)
+
+
+def bench_roofline(steps=12) -> Dict:
+    """Speed-of-light receipt for the headline train step.
+
+    Compiles the EXACT headline program (make_e2e_setup b=8) and asks
+    XLA's cost analysis for its FLOPs and bytes accessed, then compares
+    the fetch-synced measured step time against the hardware floor
+    max(flops/peak_mxu, bytes/peak_hbm_bw). The achieved fraction
+    quantifies how much headroom any further optimization could buy:
+    the step is memory-bound (MXU work is ~18% of the profile), so the
+    bytes/bandwidth term is the binding floor, and the gap between it
+    and the measured time is the relayout/fusion overhead measured in
+    the layout matrix (BENCHMARKS.md) plus dispatch.
+
+    Note cost_analysis bytes are the compiler's post-fusion estimate of
+    HBM traffic (operands + outputs of fused computations), which is the
+    right numerator for a bandwidth floor; flops count MACs as 2.
+    """
+    su = make_e2e_setup(8, donate=False)
+    step, batch0 = su["step"], su["batch0"]
+    supports, lr, rng = su["supports"], su["lr"], su["rng"]
+    state = su["state"]
+
+    compiled = step.lower(state, batch0, supports, lr, rng).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    holder = {"state": state}
+
+    def run():
+        holder["state"], m = step(holder["state"], batch0, supports, lr, rng)
+        return m["loss"]
+
+    sec = _timed_window(run, steps)
+
+    kind, (peak_flops, peak_bw) = _device_peaks()
+    detail = {
+        "device_kind": kind,
+        "gflops_per_step": round(flops / 1e9, 1),
+        "gbytes_per_step": round(byts / 1e9, 3),
+        "measured_ms": round(sec * 1e3, 2),
+    }
+    if peak_flops and flops and byts:
+        t_mxu = flops / peak_flops
+        t_hbm = byts / peak_bw
+        floor = max(t_mxu, t_hbm)
+        detail.update(
+            mxu_floor_ms=round(t_mxu * 1e3, 2),
+            hbm_floor_ms=round(t_hbm * 1e3, 2),
+            bound="hbm" if t_hbm >= t_mxu else "mxu",
+            arithmetic_intensity=round(flops / byts, 1),
+        )
+        frac = floor / sec
+    else:
+        frac = float("nan")
+    return {
+        "metric": "train_step_fraction_of_speed_of_light",
+        "value": round(frac, 3),
+        "unit": "floor/measured (1.0 = at hardware floor)",
+        "vs_baseline": round(frac, 3),
+        "detail": detail,
+    }
+
+
 def bench_fused_stack(steps=10) -> Dict:
     """BASELINE config 3: Date2Vec + U-Net fused stack, 8-frame window."""
     r = _train_throughput(b=2, n=16, t=8, s=128, steps=steps)
@@ -1101,6 +1185,7 @@ _BENCHMARKS = {
     "dcrnn_stack": bench_dcrnn_stack,
     "layout_matrix": bench_layout_matrix,
     "conv_layout": bench_conv_layout,
+    "roofline": bench_roofline,
     "xla_flag_sweep": bench_xla_flag_sweep,
     "fused_stack": bench_fused_stack,
     "multimodal_fusion": bench_multimodal_fusion,

@@ -1,0 +1,43 @@
+"""Roofline receipt plumbing (bench --config roofline).
+
+The full bench compiles the b=8 headline program and runs on the TPU;
+these tests pin the two API assumptions it rests on, cheaply, on CPU:
+the compiled-executable cost_analysis shape (dict or [dict] across jax
+versions) and the device-kind → peak-rates lookup.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_outage_tpu.benchmarks import _PEAKS, _device_peaks
+
+
+def test_device_peaks_unknown_backend_returns_none():
+    # CPU's device_kind matches no TPU generation: the bench must report
+    # raw flops/bytes with a NaN fraction instead of crashing
+    kind, (pf, pb) = _device_peaks()
+    assert isinstance(kind, str)
+    if not any(sub in kind for sub in _PEAKS):
+        assert pf is None and pb is None
+
+
+def test_cost_analysis_exposes_flops_and_bytes():
+    @jax.jit
+    def f(a, b):
+        return a @ b
+
+    x = jnp.ones((128, 128), jnp.float32)
+    compiled = f.lower(x, x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    # a 128^3 matmul is 2*128^3 = 4.19 MFLOPs; any backend's analysis
+    # must report at least the MACs
+    assert float(ca.get("flops", 0.0)) >= 128**3
+    # bytes accessed must cover reading both operands once
+    assert float(ca.get("bytes accessed", 0.0)) >= 2 * x.size * 4
+
+
+def test_peaks_table_is_sane():
+    for kind, (pf, pb) in _PEAKS.items():
+        assert pf > 1e13 and pb > 1e11, kind
