@@ -18,18 +18,23 @@ attempt fails, an honest zero line is printed (value 0.0, reason in
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
-ATTEMPT_TIMEOUTS = (2100, 1200, 1200)  # first covers fresh remote compiles
+ATTEMPT_TIMEOUTS = (2100, 1500, 1200)  # first covers fresh remote compiles
 SETTLE_SECONDS = 90
 
 
 def _attempt(timeout_s: int) -> dict:
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-    proc = subprocess.run(
+    # New session so a timeout can kill the WHOLE process group: the bench
+    # CLI may itself retry OOM cells in grandchild subprocesses
+    # (benchmarks._e2e_cell_subprocess), and a surviving grandchild would
+    # keep holding the exclusive TPU client, wedging every later attempt.
+    proc = subprocess.Popen(
         [
             sys.executable, "-m", "multimodal_outage_tpu", "bench",
             "--config", "e2e_train", "--steps", "20",
@@ -38,9 +43,18 @@ def _attempt(timeout_s: int) -> dict:
         stderr=subprocess.STDOUT,
         text=True,
         env=env,
-        timeout=timeout_s,
+        start_new_session=True,
     )
-    for line in reversed(proc.stdout.splitlines()):
+    try:
+        stdout, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+        raise
+    for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -51,7 +65,7 @@ def _attempt(timeout_s: int) -> dict:
                 return result
     raise RuntimeError(
         f"bench subprocess exited {proc.returncode} without a result "
-        f"line:\n{proc.stdout[-2000:]}"
+        f"line:\n{stdout[-2000:]}"
     )
 
 

@@ -157,8 +157,8 @@ def make_e2e_setup(
     bf16 fusion model, fused train step. Single source of truth shared by
     _e2e_train_seconds and the receipts generators (tools/dump_hlo.py,
     tools/profile_step.py) so they can never drift onto different
-    programs. Returns a dict with store/ds/pipe/state/step/supports/
-    lr/rng/batch0/n_samples."""
+    programs. Returns a dict with store/ds/pipe/model/state/step/
+    supports/lr/rng/batch0/n_samples."""
     from multimodal_outage_tpu.core.registry import HURRICANES
     from multimodal_outage_tpu.data.dataset import WindowDataset
     from multimodal_outage_tpu.data.pipeline import DevicePipeline
@@ -182,9 +182,10 @@ def make_e2e_setup(
     state = create_train_state(model, rng, batch0, supports)
     step = make_train_step(model, donate=donate)
     return {
-        "store": store, "ds": ds, "pipe": pipe, "state": state,
-        "step": step, "supports": supports, "lr": jnp.float32(1e-3),
-        "rng": rng, "batch0": batch0, "n_samples": len(ds),
+        "store": store, "ds": ds, "pipe": pipe, "model": model,
+        "state": state, "step": step, "supports": supports,
+        "lr": jnp.float32(1e-3), "rng": rng, "batch0": batch0,
+        "n_samples": len(ds),
     }
 
 
@@ -226,7 +227,7 @@ def _e2e_train_seconds(
 def _e2e_cell_subprocess(
     b: int, steps: int, remat: bool, timeout_s: int = 900, retries: int = 2,
     bn_single_pass: bool = True, remat_scope: str = "all",
-    pool: str = "reduce_window", xla_flags: str = "",
+    pool: str = "reduce_window",
 ) -> float:
     """Run one e2e-train measurement in a FRESH python process.
 
@@ -261,8 +262,10 @@ def _e2e_cell_subprocess(
     # persistent XLA compile cache: cells re-running a seen (b, remat)
     # program skip its multi-minute compile
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-    if xla_flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + xla_flags).strip()
+    # NOTE: no XLA_FLAGS injection here — the axon client's local flag
+    # parser fatally aborts on any xla_tpu_* entry; TPU compiler options
+    # travel via jax.jit(compiler_options=...) instead (see
+    # bench_xla_flag_sweep / train.steps.default_compiler_options).
     for attempt in range(retries + 1):
         try:
             proc = subprocess.run(
@@ -421,27 +424,14 @@ def bench_xla_flag_sweep(steps=10, b=8) -> Dict:
             "xla_tpu_enable_dot_strength_reduction": "false"
         },
     }
-    from multimodal_outage_tpu.core.registry import HURRICANES
-    from multimodal_outage_tpu.data.dataset import WindowDataset
-    from multimodal_outage_tpu.data.pipeline import DevicePipeline
-    from multimodal_outage_tpu.data.store import load_store
-
-    t, s = 7, 128
-    store = load_store(_e2e_store_dir())
-    ds = WindowDataset.from_case_study(
-        store, HURRICANES, dataset_range=15, horizon=t
-    )
-    n = store.n_counties
-    supports = jnp.eye(n)[None]
-    rng = jax.random.PRNGKey(0)
-    lr = jnp.float32(1e-3)
-    n_samples = len(ds)
-    pipe = DevicePipeline(store, 3.2, 10.4, s)
-    model = build_model(
-        ModelConfig(compute_dtype="bfloat16"), horizon=t
-    )
-    batch0 = pipe.batch(ds, np.arange(b))
-    base_state = create_train_state(model, rng, batch0, supports)
+    # the single source of truth for the headline program — candidate
+    # steps are rebuilt below with per-candidate compiler options, but
+    # the model/data/state MUST be make_e2e_setup's so the sweep can
+    # never drift onto a different program than the headline it tunes
+    su = make_e2e_setup(b, donate=False)
+    model, ds, pipe = su["model"], su["ds"], su["pipe"]
+    supports, lr, rng = su["supports"], su["lr"], su["rng"]
+    n_samples, base_state = su["n_samples"], su["state"]
 
     detail: Dict[str, object] = {}
     fns: Dict[str, Callable[[], object]] = {}
@@ -463,10 +453,17 @@ def bench_xla_flag_sweep(steps=10, b=8) -> Dict:
             _fetch(run())  # compile now — rejection surfaces here
             fns[name] = run
         except Exception as e:  # noqa: BLE001 - record per-candidate
-            detail[name] = (
-                "rejected" if "remote_compile" in str(e) or "Unknown" in str(e)
-                else f"failed: {str(e)[:80]}"
-            )
+            # classify OOM FIRST: a tunneled compile-time OOM also says
+            # "remote_compile", and with 7 candidate states coexisting
+            # in one process it is a live possibility — reporting it as
+            # "rejected" (= compile service refused the option name)
+            # would put a wrong diagnosis in the receipt
+            if _is_oom(e):
+                detail[name] = "oom"
+            elif "remote_compile" in str(e) or "Unknown" in str(e):
+                detail[name] = "rejected"
+            else:
+                detail[name] = f"failed: {str(e)[:80]}"
             print(f"[xla_flag_sweep] {name}: {detail[name]}", file=sys.stderr)
     res = _interleaved_ab(fns, steps)
     tiles = b * 67 * 7
@@ -1056,8 +1053,16 @@ def bench_roofline(steps=12) -> Dict:
     Note cost_analysis bytes are the compiler's post-fusion estimate of
     HBM traffic (operands + outputs of fused computations), which is the
     right numerator for a bandwidth floor; flops count MACs as 2.
+
+    donate=True deliberately: the headline step donates its train state,
+    and aliasing changes the compiled program's allocation/copy behavior
+    — a donate=False roofline would characterize a program nobody ships.
+    The timed loop executes the SAME AOT-compiled executable the cost
+    analysis came from (lower().compile() does not populate the jit
+    dispatch cache, so calling `step` would pay a second full compile —
+    tens of minutes on a cold remote compile service).
     """
-    su = make_e2e_setup(8, donate=False)
+    su = make_e2e_setup(8, donate=True)
     step, batch0 = su["step"], su["batch0"]
     supports, lr, rng = su["supports"], su["lr"], su["rng"]
     state = su["state"]
@@ -1072,7 +1077,9 @@ def bench_roofline(steps=12) -> Dict:
     holder = {"state": state}
 
     def run():
-        holder["state"], m = step(holder["state"], batch0, supports, lr, rng)
+        holder["state"], m = compiled(
+            holder["state"], batch0, supports, lr, rng
+        )
         return m["loss"]
 
     sec = _timed_window(run, steps)

@@ -74,6 +74,18 @@ def _accum_split_count(b: int, mb_size: int) -> int:
     return k
 
 
+def _next_split_count(b: int, k: int) -> int:
+    """Smallest split count > k that divides b into equal microbatches —
+    the auto-grad-accum OOM fallback steps the SPLIT COUNT, not the
+    budget: halving the byte budget can leave the split count unchanged
+    (re-dispatching the identical failing program) or overshoot past a
+    split that fits (b=6: budgets 6→3→1 give k=1→2→6, skipping k=3)."""
+    k += 1
+    while b % k:
+        k += 1
+    return k
+
+
 def _norm_county(name: str) -> str:
     return name.lower().replace(" ", "_").replace(".", "").replace("-", "_")
 
@@ -417,13 +429,19 @@ def fit(
                             compiler_options=_compile_opts(cfg),
                         )
                     try:
-                        return accum_steps[k](state, batch, supports, lr, rng)
-                    except Exception as e:  # auto mode: halve on OOM
-                        if not (
-                            auto_accum
-                            and is_oom_error(e)
-                            and mb_budget[0] > 1
-                        ):
+                        out = accum_steps[k](state, batch, supports, lr, rng)
+                        if auto_accum:
+                            # dispatch is async: a RUNTIME OOM raises at
+                            # the next host fetch, not at the call above.
+                            # Fetch one metric scalar NOW so the error
+                            # lands inside this try and the fallback (or
+                            # the donated-state abort below) can engage
+                            # instead of a raw XlaRuntimeError escaping
+                            # from the epoch loop's metric read.
+                            jax.device_get(out[1]["loss"])
+                        return out
+                    except Exception as e:  # auto mode: split finer on OOM
+                        if not (auto_accum and is_oom_error(e) and k < b):
                             raise
                         # with donated buffers a RUNTIME OOM may already
                         # have consumed the state; only a pre-execution
@@ -434,15 +452,16 @@ def fit(
                                 state.params
                             )
                         ):
+                            bs = cfg.train.batch_size
                             raise RuntimeError(
                                 "auto grad_accum cannot retry: the failing "
                                 "step consumed its donated train state "
                                 "(runtime OOM). Restart with an explicit "
-                                f"--grad_accum >= {2 * (cfg.train.batch_size // mb_budget[0])} "
-                                "or --batch_size <= "
-                                f"{mb_budget[0] // 2}"
+                                "--grad_accum >= "
+                                f"{_next_split_count(bs, _accum_split_count(bs, mb_budget[0]))} "
+                                "or a smaller --batch_size"
                             ) from e
-                        mb_budget[0] = max(1, mb_budget[0] // 2)
+                        mb_budget[0] = b // _next_split_count(b, k)
                         print(
                             f"[auto grad_accum] step OOM'd; retrying with "
                             f"microbatch <= {mb_budget[0]} "

@@ -1,6 +1,11 @@
 """bench.py watchdog: the driver must get ONE JSON line even when the
 TPU client wedges or the tunnel is down (both observed on this
-deployment). These tests drive bench.main() with a faked subprocess."""
+deployment). These tests drive bench.main() with a faked subprocess.
+
+The watchdog kills the WHOLE process group on timeout: the bench CLI
+retries OOM cells in grandchild subprocesses, and a surviving grandchild
+would keep holding the exclusive TPU client across attempts.
+"""
 
 import json
 import subprocess
@@ -9,9 +14,26 @@ import bench
 
 
 class _Proc:
-    def __init__(self, stdout, returncode=0):
-        self.stdout = stdout
+    """Fake Popen handle: communicate() returns stdout or times out."""
+
+    def __init__(self, stdout, returncode=0, wedged=False):
+        self.stdout_text = stdout
         self.returncode = returncode
+        self.wedged = wedged
+        self.pid = 12345
+        self.killed = False
+        self.waited = False
+
+    def communicate(self, timeout=None):
+        if self.wedged:
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=timeout)
+        return self.stdout_text, None
+
+    def kill(self):
+        self.killed = True
+
+    def wait(self):
+        self.waited = True
 
 
 def test_bench_parses_last_json_line(monkeypatch, capsys):
@@ -20,7 +42,7 @@ def test_bench_parses_last_json_line(monkeypatch, capsys):
         "unit": "tiles/sec/chip", "vs_baseline": 3.6, "detail": {"b": 8},
     })
     monkeypatch.setattr(
-        subprocess, "run",
+        subprocess, "Popen",
         lambda *a, **k: _Proc(f"WARNING: noise\n{{bad json\n{good}\n"),
     )
     assert bench.main() == 0
@@ -29,31 +51,55 @@ def test_bench_parses_last_json_line(monkeypatch, capsys):
     assert "detail" not in out  # driver schema: exactly the four keys
 
 
-def test_bench_retries_wedged_attempt(monkeypatch, capsys):
-    calls = {"n": 0}
+def test_bench_retries_wedged_attempt_and_kills_process_group(
+    monkeypatch, capsys
+):
+    procs = []
     good = json.dumps({
         "metric": "e2e_train_tiles_per_sec_per_chip", "value": 17000.0,
         "unit": "tiles/sec/chip", "vs_baseline": 3.4,
     })
 
-    def fake_run(*a, timeout=None, **k):
-        calls["n"] += 1
-        if calls["n"] == 1:  # first client wedges at init
-            raise subprocess.TimeoutExpired(cmd="bench", timeout=timeout)
-        return _Proc(good + "\n")
+    def fake_popen(*a, **k):
+        assert k.get("start_new_session") is True
+        proc = _Proc(good + "\n", wedged=(len(procs) == 0))
+        procs.append(proc)
+        return proc
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    killed_groups = []
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(
+        bench.os, "killpg", lambda pgid, sig: killed_groups.append(pgid)
+    )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.main() == 0
-    assert calls["n"] == 2
+    assert len(procs) == 2
+    # The wedged first attempt had its whole group killed and was reaped.
+    assert killed_groups == [procs[0].pid]
+    assert procs[0].waited
     assert json.loads(capsys.readouterr().out.strip())["value"] == 17000.0
 
 
-def test_bench_emits_honest_zero_line_when_unreachable(monkeypatch, capsys):
-    def fake_run(*a, timeout=None, **k):
-        raise subprocess.TimeoutExpired(cmd="bench", timeout=timeout)
+def test_bench_killpg_falls_back_to_kill(monkeypatch, capsys):
+    """If the group is already gone, the direct child still gets killed."""
+    proc = _Proc("", wedged=True)
+    monkeypatch.setattr(subprocess, "Popen", lambda *a, **k: proc)
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    def raise_lookup(pgid, sig):
+        raise ProcessLookupError
+
+    monkeypatch.setattr(bench.os, "killpg", raise_lookup)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.main() == 1
+    assert proc.killed and proc.waited
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 0.0
+
+
+def test_bench_emits_honest_zero_line_when_unreachable(monkeypatch, capsys):
+    monkeypatch.setattr(
+        subprocess, "Popen", lambda *a, **k: _Proc("", wedged=True)
+    )
+    monkeypatch.setattr(bench.os, "killpg", lambda pgid, sig: None)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.main() == 1
     out = json.loads(capsys.readouterr().out.strip())
@@ -63,7 +109,7 @@ def test_bench_emits_honest_zero_line_when_unreachable(monkeypatch, capsys):
 
 def test_bench_no_result_line_is_a_retryable_failure(monkeypatch, capsys):
     monkeypatch.setattr(
-        subprocess, "run", lambda *a, **k: _Proc("crash traceback", 1)
+        subprocess, "Popen", lambda *a, **k: _Proc("crash traceback", 1)
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.main() == 1

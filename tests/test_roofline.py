@@ -41,3 +41,27 @@ def test_cost_analysis_exposes_flops_and_bytes():
 def test_peaks_table_is_sane():
     for kind, (pf, pb) in _PEAKS.items():
         assert pf > 1e13 and pb > 1e11, kind
+
+
+def test_aot_compiled_donated_step_is_recallable():
+    """bench_roofline times the SAME AOT executable its cost analysis
+    came from (lower().compile() does not populate the jit dispatch
+    cache, so calling the jitted fn would pay a second compile), with
+    the headline's donate_argnums=(0,) and the state threaded through.
+    Pin that mechanic: repeated calls, one trace, right numerics."""
+    import numpy as np
+
+    traces = {"n": 0}
+
+    def f(state, x):
+        traces["n"] += 1  # increments at trace time only
+        return state + x, (state * x).sum()
+
+    jf = jax.jit(f, donate_argnums=(0,))
+    state = jnp.ones((8, 8), jnp.float32)
+    x = jnp.full((8, 8), 2.0, jnp.float32)
+    compiled = jf.lower(state, x).compile()
+    for _ in range(3):
+        state, _loss = compiled(state, x)
+    assert traces["n"] == 1
+    np.testing.assert_allclose(np.asarray(state), np.full((8, 8), 7.0))

@@ -12,24 +12,25 @@ the receipt goes to BENCHMARKS.md instead of a feature.
 Run standalone on the real chip (one TPU process at a time):
     python tools/probe_int8_conv.py
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
 
 from multimodal_outage_tpu.benchmarks import _interleaved_ab
 
-
-def make_cases(m):
-    # (name, H, Cin, Cout): the serving UNet's conv ladder at eval.
-    # Stem levels are bandwidth-bound; deep levels are MXU-bound.
-    return [
-        ("stem_128_4_4", 128, 4, 4),
-        ("down2_32_16_16", 32, 16, 16),
-        ("down4_8_64_64", 8, 64, 64),
-    ]
+# (name, H, Cin, Cout): the serving UNet's conv ladder at eval.
+# Stem levels are bandwidth-bound; deep levels are MXU-bound.
+CASES = [
+    ("stem_128_4_4", 128, 4, 4),
+    ("down2_32_16_16", 32, 16, 16),
+    ("down4_8_64_64", 8, 64, 64),
+]
 
 
 def bench_case(name, h, cin, cout, m, steps=30):
@@ -73,7 +74,7 @@ def bench_case(name, h, cin, cout, m, steps=30):
 def main():
     m = 16 * 67 * 7  # serving B=16 conv batch
     print(f"devices: {jax.devices()}")
-    for case in make_cases(m):
+    for case in CASES:
         try:
             bench_case(*case, m)
         except Exception as e:  # compile rejection is a result too
