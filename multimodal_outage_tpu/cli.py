@@ -170,6 +170,7 @@ def _build_config(args):
         job_id=getattr(args, "job_id", "test"),
         seed=getattr(args, "seed", 42),
         resume=getattr(args, "resume", False),
+        tensorboard=getattr(args, "tensorboard", False),
         profile_dir=getattr(args, "profile_dir", None),
         debug_nans=getattr(args, "debug_nans", False),
     )
@@ -199,6 +200,11 @@ def main(argv=None) -> int:
     )
     p_train.add_argument(
         "--resume", action="store_true", help="Continue from latest checkpoint"
+    )
+    p_train.add_argument(
+        "--tensorboard", action="store_true",
+        help="Also write TensorBoard scalars to <run_dir>/tb "
+        "(needs tensorboardX or torch; metrics.jsonl always written)",
     )
     p_train.add_argument(
         "--profile_dir", type=str, default=None,

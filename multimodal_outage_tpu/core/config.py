@@ -186,6 +186,10 @@ class TrainConfig:
     # "XLA compiler-options sweep"). 0 = compiler default.
     xla_vmem_limit_kib: int = 49152
     resume: bool = False  # continue from the latest checkpoint in run dir
+    # TensorBoard scalars alongside metrics.jsonl (SURVEY §5 "optional
+    # TensorBoard scalars"; the reference's Lightning logger equivalent).
+    # Requires tensorboardX or torch; degrades to JSONL-only if absent.
+    tensorboard: bool = False
     debug_nans: bool = False  # jax_debug_nans numerical sanitizer (SURVEY §5)
     profile_dir: Optional[str] = None  # jax.profiler trace capture target
     profile_steps: int = 5  # steps to trace when profiling

@@ -311,7 +311,9 @@ def fit(
     run_dir = run_dir or os.path.join(
         cfg.train.checkpoint_dir, cfg.train.job_id
     )
-    logger = RunLogger(run_dir, config=asdict(cfg))
+    logger = RunLogger(
+        run_dir, config=asdict(cfg), tensorboard=cfg.train.tensorboard
+    )
     ckpt = CheckpointManager(
         os.path.join(run_dir, "checkpoints"), cfg.train.keep_top_k
     )
