@@ -1037,6 +1037,44 @@ def _device_peaks():
     return kind, (None, None)
 
 
+def _compiled_cost(compiled):
+    """(flops, bytes accessed) from an AOT-compiled executable's XLA cost
+    analysis. Bytes are the compiler's post-fusion HBM-traffic estimate
+    (operands + outputs of fused computations) — the right numerator for
+    a bandwidth floor; flops count MACs as 2."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _roofline_report(flops: float, byts: float, sec: float):
+    """(detail dict, fraction-of-speed-of-light) against this device's
+    peak MXU rate and HBM bandwidth: floor = max(flops/peak_mxu,
+    bytes/peak_bw); fraction = floor / measured."""
+    kind, (peak_flops, peak_bw) = _device_peaks()
+    detail = {
+        "device_kind": kind,
+        "gflops_per_step": round(flops / 1e9, 1),
+        "gbytes_per_step": round(byts / 1e9, 3),
+        "measured_ms": round(sec * 1e3, 2),
+    }
+    if peak_flops and flops and byts:
+        t_mxu = flops / peak_flops
+        t_hbm = byts / peak_bw
+        floor = max(t_mxu, t_hbm)
+        detail.update(
+            mxu_floor_ms=round(t_mxu * 1e3, 2),
+            hbm_floor_ms=round(t_hbm * 1e3, 2),
+            bound="hbm" if t_hbm >= t_mxu else "mxu",
+            arithmetic_intensity=round(flops / byts, 1),
+        )
+        frac = floor / sec
+    else:
+        frac = float("nan")
+    return detail, frac
+
+
 def bench_roofline(steps=12) -> Dict:
     """Speed-of-light receipt for the headline train step.
 
@@ -1068,11 +1106,7 @@ def bench_roofline(steps=12) -> Dict:
     state = su["state"]
 
     compiled = step.lower(state, batch0, supports, lr, rng).compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    byts = float(ca.get("bytes accessed", 0.0))
+    flops, byts = _compiled_cost(compiled)
 
     holder = {"state": state}
 
@@ -1083,29 +1117,61 @@ def bench_roofline(steps=12) -> Dict:
         return m["loss"]
 
     sec = _timed_window(run, steps)
-
-    kind, (peak_flops, peak_bw) = _device_peaks()
-    detail = {
-        "device_kind": kind,
-        "gflops_per_step": round(flops / 1e9, 1),
-        "gbytes_per_step": round(byts / 1e9, 3),
-        "measured_ms": round(sec * 1e3, 2),
-    }
-    if peak_flops and flops and byts:
-        t_mxu = flops / peak_flops
-        t_hbm = byts / peak_bw
-        floor = max(t_mxu, t_hbm)
-        detail.update(
-            mxu_floor_ms=round(t_mxu * 1e3, 2),
-            hbm_floor_ms=round(t_hbm * 1e3, 2),
-            bound="hbm" if t_hbm >= t_mxu else "mxu",
-            arithmetic_intensity=round(flops / byts, 1),
-        )
-        frac = floor / sec
-    else:
-        frac = float("nan")
+    detail, frac = _roofline_report(flops, byts, sec)
     return {
         "metric": "train_step_fraction_of_speed_of_light",
+        "value": round(frac, 3),
+        "unit": "floor/measured (1.0 = at hardware floor)",
+        "vs_baseline": round(frac, 3),
+        "detail": detail,
+    }
+
+
+def bench_serving_roofline(steps=20) -> Dict:
+    """Speed-of-light receipt for the serving engine's batched forward.
+
+    Same method as bench_roofline, applied to the EXACT ServingModel
+    program (BN-folded, dropout-elided, whole-stack st-GNN kernel per
+    the engine's own default policy) at the B=16 throughput shape. B=1
+    serving is dispatch-floor-bound on this tunneled backend (~1.3 ms
+    of the wall is dispatch; see the chained-composition analysis in
+    BENCHMARKS.md), so a B=1 roofline would measure the tunnel, not the
+    program — the throughput shape is where the device-compute fraction
+    is an actionable number. The timed loop executes the SAME
+    AOT-compiled executable the cost analysis came from (same reasoning
+    as bench_roofline: lower().compile() does not populate the jit
+    dispatch cache).
+
+    Serving contract: serving.py:ServingModel.__call__; eval forward
+    parity with the reference harness tlit.py:64-90.
+    """
+    from multimodal_outage_tpu.serving import ServingModel
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    t, b = 7, 16
+    model = build_model(model_cfg, horizon=t)
+    batch = _device_batch(b, 67, t, 128)
+    supports = jnp.eye(67)[None]
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["x"][:1], batch["date_feats"][:1], supports, train=False,
+    )
+    serve = ServingModel(model_cfg, variables, supports)
+    args = (
+        serve.params, serve.batch_stats, batch["x"], batch["date_feats"],
+        serve.supports, getattr(serve, "_stack_sp", None),
+        getattr(serve, "_stack_supports", None),
+    )
+    compiled = serve._jitted.lower(*args).compile()
+    flops, byts = _compiled_cost(compiled)
+
+    sec = _timed_window(lambda: compiled(*args), steps)
+    detail, frac = _roofline_report(flops, byts, sec)
+    tiles = b * 67 * t
+    detail["tiles_per_sec"] = round(tiles / sec, 0)
+    return {
+        "metric": "serving_b16_fraction_of_speed_of_light",
         "value": round(frac, 3),
         "unit": "floor/measured (1.0 = at hardware floor)",
         "vs_baseline": round(frac, 3),
@@ -1193,6 +1259,7 @@ _BENCHMARKS = {
     "layout_matrix": bench_layout_matrix,
     "conv_layout": bench_conv_layout,
     "roofline": bench_roofline,
+    "serving_roofline": bench_serving_roofline,
     "xla_flag_sweep": bench_xla_flag_sweep,
     "fused_stack": bench_fused_stack,
     "multimodal_fusion": bench_multimodal_fusion,

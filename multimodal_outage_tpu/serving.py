@@ -69,6 +69,7 @@ class ServingModel:
         horizon: int = 7,
         gwnet_stack: Optional[bool] = None,
         dcrnn_stack: Optional[bool] = None,
+        compiler_options="auto",
     ):
         """Pallas kernel policy, set by measured A/Bs (BENCHMARKS.md):
         the whole-stack fused st-GNN kernels (ops/gwnet_stack_pallas.py,
@@ -86,9 +87,27 @@ class ServingModel:
         kernel weights and the baked adaptive adjacency are derived from
         `variables` ONCE here. To serve new weights, build a new
         ServingModel — reassigning .params/.batch_stats on a live engine
-        would desynchronize them from the baked stage weights."""
+        would desynchronize them from the baked stage weights.
+
+        compiler_options: dict of XLA options for the BATCHED serving
+        jit, None for compiler defaults, or "auto" (default) for the
+        measured-best 64 MiB scoped-VMEM fusion budget on TPU — +11%
+        B=16 serving throughput over the 16 MiB compiler default, flat
+        plateau 64-112 MiB (tools/probe_serving_vmem.py receipt in
+        BENCHMARKS.md). The knee is higher than the train step's 48 MiB
+        because the eval forward keeps no backward-needed activations,
+        so deeper fusions don't fight a liveness-constrained schedule.
+        B=1 requests are routed to a compiler-defaults jit (_make_jits):
+        the budget measured a reproducible ~3.3% B=1 latency loss."""
         import jax as _jax
 
+        from multimodal_outage_tpu.train.steps import (
+            default_compiler_options,
+        )
+
+        if compiler_options == "auto":
+            compiler_options = default_compiler_options(65536)
+        self._compiler_options = compiler_options
         self.cfg = cfg
         self._horizon = horizon
         # Commit weights to device once — checkpoint restores hand back
@@ -146,7 +165,7 @@ class ServingModel:
                         rnn_units=d.rnn_units,
                     )
                 )
-            self._jitted = jax.jit(self._forward)
+            self._make_jits()
             return
         if cfg.st_gnn != "gwnet":
             raise NotImplementedError(
@@ -215,7 +234,23 @@ class ServingModel:
             pallas_interpret=interpret,
             dtype=jnp.dtype(cfg.compute_dtype),
         )
-        self._jitted = jax.jit(self._forward)
+        self._make_jits()
+
+    def _make_jits(self):
+        """Two jits over the same _forward: batched requests get the
+        measured-best scoped-VMEM budget; B=1 requests keep compiler
+        defaults (the budget measured 1.11x at B=16 but a reproducible
+        ~3.3% B=1 latency LOSS — the deeper fusions it buys pay off on
+        big tensors and cost schedule slack on small ones). __call__
+        routes by batch size, so each shape compiles exactly once under
+        the jit that wins for it."""
+        self._jitted = jax.jit(
+            self._forward, compiler_options=self._compiler_options
+        )
+        self._jitted_b1 = (
+            jax.jit(self._forward) if self._compiler_options
+            else self._jitted
+        )
 
     # Above this spatial size the kernel's lane-padded [H·W, 128] matmul
     # operands overflow the 16 MB VMEM budget; XLA convs take over there.
@@ -357,7 +392,8 @@ class ServingModel:
     def __call__(self, x, date_feats):
         # folded stack weights travel as jit ARGUMENTS, never closure
         # constants (embedded device constants degrade dispatch)
-        return self._jitted(
+        jitted = self._jitted_b1 if x.shape[0] == 1 else self._jitted
+        return jitted(
             self.params, self.batch_stats, x, date_feats, self.supports,
             getattr(self, "_stack_sp", None),
             getattr(self, "_stack_supports", None),

@@ -43,6 +43,40 @@ def test_peaks_table_is_sane():
         assert pf > 1e13 and pb > 1e11, kind
 
 
+def test_roofline_report_math(monkeypatch):
+    """Shared floor math for bench_roofline / bench_serving_roofline:
+    floor = max(mxu, hbm) and fraction = floor/measured on a known-peaks
+    device; NaN (not a crash) when the device kind is unknown."""
+    import math
+
+    from multimodal_outage_tpu import benchmarks as B
+
+    monkeypatch.setattr(
+        B, "_device_peaks", lambda: ("fake v5e", (200e12, 800e9))
+    )
+    # 100 GFLOP, 80 GB → mxu 0.5 ms, hbm 100 ms → hbm-bound floor 100 ms
+    detail, frac = B._roofline_report(100e9, 80e9, 0.2)
+    assert detail["bound"] == "hbm"
+    assert detail["hbm_floor_ms"] == 100.0
+    assert abs(frac - 0.5) < 1e-9
+
+    monkeypatch.setattr(B, "_device_peaks", lambda: ("mystery", (None, None)))
+    detail, frac = B._roofline_report(100e9, 80e9, 0.2)
+    assert math.isnan(frac) and "bound" not in detail
+
+
+def test_compiled_cost_helper():
+    from multimodal_outage_tpu.benchmarks import _compiled_cost
+
+    @jax.jit
+    def f(a, b):
+        return a @ b
+
+    x = jnp.ones((128, 128), jnp.float32)
+    flops, byts = _compiled_cost(f.lower(x, x).compile())
+    assert flops >= 128**3 and byts >= 2 * x.size * 4
+
+
 def test_aot_compiled_donated_step_is_recallable():
     """bench_roofline times the SAME AOT executable its cost analysis
     came from (lower().compile() does not populate the jit dispatch
