@@ -7,6 +7,7 @@ Subcommands mirroring the reference entry points (SURVEY §1 L6):
   stats     — find_mean_std.py equivalent
   synth     — synthetic fixture generator (the dataset is cluster-only)
   bench     — benchmark suite driver
+  import-torch — reference Lightning/torch checkpoint → framework ckpt
 """
 
 from __future__ import annotations
@@ -313,6 +314,30 @@ def main(argv=None) -> int:
     p_gaps.add_argument("--out_dir", type=str, required=True)
     p_gaps.add_argument("--margin_days", type=int, default=90)
 
+    p_imp = sub.add_parser(
+        "import-torch",
+        help="Convert a reference PyTorch/Lightning checkpoint "
+        "(lit.py:187-196 .ckpt, or a bare Modified_UNET state_dict) into "
+        "a framework checkpoint directory usable by evaluate/serve/"
+        "train --resume",
+    )
+    _add_common_model_flags(p_imp)
+    p_imp.add_argument(
+        "--checkpoint", type=str, required=True,
+        help="reference .ckpt/.pth path",
+    )
+    p_imp.add_argument(
+        "--d2v_pth", type=str, default=None,
+        help="reference Date2Vec *.pth (whole-module pickle or "
+        "state_dict, reference date2vec.py:6) — fills the fused "
+        "date2vec/fc1,fc2 encode weights",
+    )
+    p_imp.add_argument("--out", type=str, required=True)
+    p_imp.add_argument(
+        "--no_strict", action="store_true",
+        help="tolerate missing/extra reference keys instead of raising",
+    )
+
     p_bench = sub.add_parser("bench", help="Run benchmark suite")
     p_bench.add_argument("--config", type=str, default="unet_train")
     p_bench.add_argument("--steps", type=int, default=20)
@@ -365,6 +390,25 @@ def main(argv=None) -> int:
             )
             results = fit(run_cfg, test_case=args.case)
             print(json.dumps(results))
+        return 0
+
+    if args.command == "import-torch":
+        from multimodal_outage_tpu.parity.torch_import import (
+            convert_checkpoint,
+        )
+
+        cfg = _build_config(args)
+        info = convert_checkpoint(
+            cfg,
+            args.checkpoint,
+            args.out,
+            d2v_pth=args.d2v_pth,
+            strict=not args.no_strict,
+        )
+        print(
+            f"imported {info['torch_keys']} reference tensors -> "
+            f"{info['leaves']} framework leaves at {args.out}"
+        )
         return 0
 
     if args.command == "evaluate":
