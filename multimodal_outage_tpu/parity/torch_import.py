@@ -52,7 +52,13 @@ _FWD = {
     "conv": lambda w: w.transpose(2, 3, 1, 0),  # OIHW -> HWIO
     "conv1x1": lambda w: w[:, :, 0, 0].T,  # [out,in,1,1] -> [in,out]
     "conv1xk": lambda w: w[:, :, 0, :].transpose(2, 1, 0),  # ->[K,in,out]
-    "convT": lambda w: w.transpose(2, 3, 0, 1),  # [in,out,kh,kw]->[kh,kw,in,out]
+    # torch ConvTranspose2d [in,out,kh,kw] is a gradient-derived transposed
+    # conv; flax nn.ConvTranspose (transpose_kernel=False, models/layers.py
+    # Up) is a fractionally-strided *correlation* — same op only with the
+    # kernel spatially flipped (the parity oracle applies the same flip,
+    # oracle_torch.py conv_transpose2d_cl). Transpose alone would scramble
+    # every Up upsampler spatially.
+    "convT": lambda w: w.transpose(2, 3, 0, 1)[::-1, ::-1],
 }
 _INV = {
     "direct": lambda w: w,
@@ -60,7 +66,7 @@ _INV = {
     "conv": lambda w: w.transpose(3, 2, 0, 1),
     "conv1x1": lambda w: w.T[:, :, None, None],
     "conv1xk": lambda w: w.transpose(2, 1, 0)[:, :, None, :],
-    "convT": lambda w: w.transpose(2, 3, 0, 1),
+    "convT": lambda w: w[::-1, ::-1].transpose(2, 3, 0, 1),
 }
 
 
@@ -329,7 +335,9 @@ def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     flat = {c: _flatten(variables.get(c, {})) for c in ("params", "batch_stats")}
     sd = {}
     for collection, ours_path, torch_key, kind in rules:
-        sd[torch_key] = np.asarray(
+        # ascontiguousarray: the convT flip yields a negative-strided view,
+        # which torch.from_numpy refuses
+        sd[torch_key] = np.ascontiguousarray(
             _INV[kind](np.asarray(flat[collection][ours_path]))
         )
     return sd
@@ -421,10 +429,17 @@ def _register_date2vec_shim() -> None:
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """torch.load a reference checkpoint file (.ckpt Lightning dict with
-    a 'state_dict' entry, or a bare state_dict .pth) → numpy dict."""
+    a 'state_dict' entry, or a bare state_dict .pth) → numpy dict.
+
+    Tries weights_only=True first (no arbitrary-code-execution surface);
+    falls back to a full unpickle only for module pickles, which genuinely
+    need it — that path trusts the checkpoint file."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if not isinstance(obj, dict):
