@@ -91,10 +91,17 @@ class DCRNNConfig:
     # models/unet.py:17): dual_random_walk → [D⁻¹A, D⁻¹Aᵀ],
     # random_walk → [D⁻¹A], identity → [I]
     filter_type: str = "dual_random_walk"
-    # Scheduled-sampling probability for the decoder (canonical DCRNN
-    # design; only active when latent targets are passed to the module —
-    # the fusion call site has none, so it always self-feeds there):
+    # Scheduled sampling for the decoder (canonical DCRNN design):
+    # with teacher_forcing > 0 the TRAIN step encodes the ground-truth
+    # future frames into latent space (through the frozen-stat U-Net
+    # contraction + bottleneck encoder) and each decoder step feeds that
+    # latent target with this probability instead of its own output.
+    # Eval/serving always self-feed.
     teacher_forcing: float = 0.0
+    # Inverse-sigmoid decay of the probability over train steps
+    # (p(step) = teacher_forcing · τ/(τ + e^{step/τ}), the canonical
+    # DCRNN cl_decay_steps curriculum). 0 ⇒ constant probability.
+    tf_decay_steps: int = 0
 
 
 @dataclass(frozen=True)

@@ -126,11 +126,10 @@ class _DecoderStep(nn.Module):
     max_diffusion_step: int
     output_dim: int
     use_teacher: bool = False  # static: targets provided AND training
-    teacher_forcing: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, target_t, supports):
+    def __call__(self, carry, target_t, supports, tf_prob):
         states, prev = carry
         new_states = []
         inp = prev
@@ -146,9 +145,10 @@ class _DecoderStep(nn.Module):
         out = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(inp)
         nxt = out
         if self.use_teacher:
-            use_tf = jax.random.bernoulli(
-                self.make_rng("sampling"), self.teacher_forcing
-            )
+            # one batch-wide coin per decoder step (canonical DCRNN
+            # sampling granularity); tf_prob is a TRACED scalar so the
+            # trainer can anneal it without retracing
+            use_tf = jax.random.bernoulli(self.make_rng("sampling"), tf_prob)
             nxt = jnp.where(use_tf, target_t.astype(out.dtype), out)
         return (tuple(new_states), nxt), out
 
@@ -168,8 +168,11 @@ class DCRNN(nn.Module):
     training with teacher_forcing > 0 (and an rng named "sampling") and
     each decoder step feeds the ground truth with that probability —
     scheduled sampling, per the public DCRNN design (Li et al. 2018).
-    At the fusion call site targets live in latent space and are not
-    available, so fusion always self-feeds (matching eval-mode use).
+    `tf_prob` optionally overrides the static probability with a traced
+    scalar (the trainer's inverse-sigmoid curriculum — steps.tf_schedule).
+    At the fusion call site the trainer encodes ground-truth future
+    frames into latent space and passes them through
+    (models/fusion.py); eval/serving never pass targets and self-feed.
     """
 
     output_dim: int = 256
@@ -187,6 +190,7 @@ class DCRNN(nn.Module):
         supports: jnp.ndarray,
         train: bool,
         targets: Optional[jnp.ndarray] = None,
+        tf_prob: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         if supports is None:
             # fail at the model boundary, not as an AttributeError deep
@@ -224,7 +228,8 @@ class DCRNN(nn.Module):
             _DecoderStep,
             variable_broadcast="params",
             split_rngs={"params": False, "sampling": True},
-            in_axes=(2, nn.broadcast),  # targets over T; broadcast supports
+            # targets over T; broadcast supports and the sampling prob
+            in_axes=(2, nn.broadcast, nn.broadcast),
             out_axes=2,
         )(
             self.rnn_units,
@@ -232,7 +237,6 @@ class DCRNN(nn.Module):
             self.max_diffusion_step,
             self.output_dim,
             use_teacher=use_teacher,
-            teacher_forcing=self.teacher_forcing,
             dtype=self.dtype,
             name="decoder",
         )
@@ -240,7 +244,9 @@ class DCRNN(nn.Module):
             targets = jnp.zeros(
                 (b, n, self.horizon, self.output_dim), self.dtype
             )
+        if tf_prob is None:
+            tf_prob = jnp.float32(self.teacher_forcing)
         # GO symbol = zeros (canonical DCRNN decoder start token)
         go = jnp.zeros((b, n, self.output_dim), self.dtype)
-        _, outputs = decoder((states, go), targets, supports)
+        _, outputs = decoder((states, go), targets, supports, tf_prob)
         return outputs

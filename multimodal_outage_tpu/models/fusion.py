@@ -86,6 +86,8 @@ class ModifiedUNet(nn.Module):
         date_feats: jnp.ndarray,  # [B, T, 6] raw (0,0,0,y,m,d)
         supports: Optional[jnp.ndarray],  # [S, N, N] static GCN supports
         train: bool = False,
+        targets: Optional[jnp.ndarray] = None,  # [B, N, T, H, W, C] future
+        tf_prob: Optional[jnp.ndarray] = None,  # traced sampling prob
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -93,7 +95,7 @@ class ModifiedUNet(nn.Module):
         grid = x.shape[3] // (2**cfg.depth)
 
         x = x.astype(dtype)
-        bottleneck, skips = Contraction(
+        contraction = Contraction(
             base_channels=cfg.base_channels,
             depth=cfg.depth,
             remat=cfg.remat,
@@ -102,15 +104,36 @@ class ModifiedUNet(nn.Module):
             pool=cfg.pool,
             dtype=dtype,
             name="contraction",
-        )(x, train)
-
-        z = BottleneckEncoder(
+        )
+        encoder = BottleneckEncoder(
             feature_vector_size=cfg.feature_vector_size,
             compression_factor=cfg.compression_factor,
             dropout=cfg.encoder_dropout,
             dtype=dtype,
             name="encoder",
-        )(bottleneck, train)
+        )
+        bottleneck, skips = contraction(x, train)
+        z = encoder(bottleneck, train)
+
+        # DCRNN scheduled sampling (canonical design, Li et al. 2018;
+        # the reference's gitignored dcrnn.py implemented it): encode the
+        # ground-truth future frames into the decoder's latent space
+        # through the SAME contraction/encoder — in eval mode, so BN
+        # running stats are neither mutated nor contaminated by target
+        # frames and dropout stays off — and let the decoder feed them
+        # with probability tf_prob. stop_gradient: teacher inputs are
+        # data, not a gradient path into the encoder.
+        latent_targets = None
+        if (
+            targets is not None
+            and train
+            and cfg.st_gnn == "dcrnn"
+            and cfg.dcrnn.teacher_forcing > 0.0
+        ):
+            tgt_bottleneck, _ = contraction(targets.astype(dtype), False)
+            latent_targets = jax.lax.stop_gradient(
+                encoder(tgt_bottleneck, False)
+            )
 
         # Date2Vec fused into the forward: one embedding per date,
         # broadcast over counties (reference utils.py:94,103 semantics).
@@ -132,7 +155,13 @@ class ModifiedUNet(nn.Module):
 
         from multimodal_outage_tpu.core.registry import get_st_gnn
 
-        z = get_st_gnn(cfg.st_gnn)(cfg, self.horizon, dtype)(z, supports, train)
+        st_gnn = get_st_gnn(cfg.st_gnn)(cfg, self.horizon, dtype)
+        if latent_targets is not None:
+            z = st_gnn(
+                z, supports, train, targets=latent_targets, tf_prob=tf_prob
+            )
+        else:
+            z = st_gnn(z, supports, train)
 
         d = BottleneckDecoder(
             grid_size=grid,

@@ -36,6 +36,41 @@ def default_compiler_options(vmem_limit_kib: int = 49152):
     return None
 
 
+def uses_teacher_forcing(model) -> bool:
+    """True when the fusion model's DCRNN scheduled-sampling knob is on —
+    train steps then pass the ground-truth future frames (batch['y'])
+    through the forward as decoder targets (models/fusion.py)."""
+    cfg = getattr(model, "cfg", None)
+    return (
+        cfg is not None
+        and getattr(cfg, "st_gnn", None) == "dcrnn"
+        and cfg.dcrnn.teacher_forcing > 0.0
+    )
+
+
+def tf_schedule(model, step) -> jnp.ndarray:
+    """Scheduled-sampling probability at `step` (traced): constant
+    cfg.dcrnn.teacher_forcing, or — with tf_decay_steps = τ > 0 — the
+    canonical DCRNN inverse-sigmoid curriculum
+    p(step) = p₀ · τ/(τ + e^{step/τ})  (Li et al. 2018 cl_decay_steps)."""
+    d = model.cfg.dcrnn
+    p0 = jnp.float32(d.teacher_forcing)
+    if d.tf_decay_steps <= 0:
+        return p0
+    tau = jnp.float32(d.tf_decay_steps)
+    return p0 * tau / (tau + jnp.exp(step.astype(jnp.float32) / tau))
+
+
+def _teacher_kwargs(model, state, batch, dropout_rng):
+    """(extra apply kwargs, extra rngs) for the scheduled-sampling path."""
+    if not uses_teacher_forcing(model):
+        return {}, {}
+    return (
+        {"targets": batch["y"], "tf_prob": tf_schedule(model, state.step)},
+        {"sampling": jax.random.fold_in(dropout_rng, 0x5a)},
+    )
+
+
 def make_train_step(
     model, donate: bool = True, compiler_options="auto"
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
@@ -54,6 +89,7 @@ def make_train_step(
         rng: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
+        tf_kwargs, tf_rngs = _teacher_kwargs(model, state, batch, dropout_rng)
 
         def loss_fn(params):
             yhat, mutated = model.apply(
@@ -62,8 +98,9 @@ def make_train_step(
                 batch["date_feats"],
                 supports,
                 train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": dropout_rng, **tf_rngs},
                 mutable=["batch_stats"],
+                **tf_kwargs,
             )
             return M.mse(yhat, batch["y"]), (yhat, mutated["batch_stats"])
 
@@ -141,6 +178,10 @@ def make_accum_train_step(
         def micro(carry, inp):
             bs, grads_acc = carry
             mb, k = inp
+            mb_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, state.step), k
+            )
+            tf_kwargs, tf_rngs = _teacher_kwargs(model, state, mb, mb_rng)
 
             def loss_fn(params):
                 yhat, mutated = model.apply(
@@ -149,12 +190,9 @@ def make_accum_train_step(
                     mb["date_feats"],
                     supports,
                     train=True,
-                    rngs={
-                        "dropout": jax.random.fold_in(
-                            jax.random.fold_in(rng, state.step), k
-                        )
-                    },
+                    rngs={"dropout": mb_rng, **tf_rngs},
                     mutable=["batch_stats"],
+                    **tf_kwargs,
                 )
                 return M.mse(yhat, mb["y"]), (yhat, mutated["batch_stats"])
 
