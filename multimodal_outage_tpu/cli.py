@@ -80,6 +80,19 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "receptive field 1; >1 enables the dilated causal path)",
     )
     p.add_argument(
+        "--teacher_forcing", type=float, default=0.0,
+        help="DCRNN scheduled sampling: initial probability of feeding "
+        "the decoder the encoded ground-truth future frame instead of "
+        "its own output during training (canonical DCRNN curriculum; "
+        "eval/serving always self-feed). 0 disables.",
+    )
+    p.add_argument(
+        "--tf_decay_steps", type=int, default=0,
+        help="with --teacher_forcing: inverse-sigmoid decay constant τ "
+        "(p(step) = p0·τ/(τ+e^{step/τ}), the DCRNN cl_decay_steps "
+        "curriculum). 0 keeps the probability constant.",
+    )
+    p.add_argument(
         "--bn_two_pass", action="store_true",
         help="use the two-pass BatchNorm statistics (bit-closest torch"
         " arithmetic) instead of the default single fused sweep"
@@ -122,10 +135,29 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     )
 
 
+def _add_mesh_flags(p):
+    """SPMD mesh axes — accepted by train, evaluate, and serve (inference
+    and serving run on the mesh too, not just fit)."""
+    p.add_argument(
+        "--mesh_data", type=int, default=-1,
+        help="data-parallel mesh axis size (-1: all devices left over "
+        "after model*time; 1 with one chip ⇒ plain single-device)",
+    )
+    p.add_argument(
+        "--mesh_model", type=int, default=1,
+        help="tensor-parallel axis (bottleneck MLP hidden dims)",
+    )
+    p.add_argument(
+        "--mesh_time", type=int, default=1,
+        help="sequence-parallel axis (temporal window T)",
+    )
+
+
 def _build_config(args):
     from multimodal_outage_tpu.core.config import (
         Config,
         DataConfig,
+        DCRNNConfig,
         GWNetConfig,
         MeshConfig,
         ModelConfig,
@@ -162,6 +194,10 @@ def _build_config(args):
         pool=getattr(args, "pool", "reduce_window"),
         bn_single_pass=not getattr(args, "bn_two_pass", False),
         gwnet=GWNetConfig(**gwnet_kw),
+        dcrnn=DCRNNConfig(
+            teacher_forcing=getattr(args, "teacher_forcing", 0.0),
+            tf_decay_steps=getattr(args, "tf_decay_steps", 0),
+        ),
     )
     train = TrainConfig(
         epochs=getattr(args, "epochs", 5),
@@ -214,19 +250,7 @@ def main(argv=None) -> int:
     p_train.add_argument(
         "--debug_nans", action="store_true", help="Enable jax_debug_nans"
     )
-    p_train.add_argument(
-        "--mesh_data", type=int, default=-1,
-        help="data-parallel mesh axis size (-1: all devices left over "
-        "after model*time; 1 with one chip ⇒ plain single-device)",
-    )
-    p_train.add_argument(
-        "--mesh_model", type=int, default=1,
-        help="tensor-parallel axis (bottleneck MLP hidden dims)",
-    )
-    p_train.add_argument(
-        "--mesh_time", type=int, default=1,
-        help="sequence-parallel axis (temporal window T)",
-    )
+    _add_mesh_flags(p_train)
     p_train.add_argument(
         "--shard_store", action="store_true",
         help="partition the HBM frame store over the data mesh axis "
@@ -241,6 +265,7 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("evaluate", help="Evaluate a checkpoint")
     _add_common_model_flags(p_eval)
+    _add_mesh_flags(p_eval)
     p_eval.add_argument("--checkpoint_path", type=str, required=True)
     p_eval.add_argument("--case", type=str, default="idalia")
     p_eval.add_argument("--save_preds", type=str, default=None)
@@ -274,6 +299,7 @@ def main(argv=None) -> int:
         "serve", help="Load a checkpoint into the optimized serving engine"
     )
     _add_common_model_flags(p_serve)
+    _add_mesh_flags(p_serve)
     p_serve.add_argument("--checkpoint_path", type=str, required=True)
     p_serve.add_argument("--case", type=str, default="michael")
     p_serve.add_argument("--save_preds", type=str, default=None)

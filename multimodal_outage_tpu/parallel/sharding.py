@@ -67,13 +67,22 @@ def _pspec_for(path, leaf) -> P:
     return P()
 
 
-def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
-    """TrainState-shaped pytree of NamedShardings (TP rules + replication)."""
+def tree_shardings(mesh: Mesh, tree) -> Any:
+    """Same-shaped pytree of NamedShardings (TP rules + replication).
+
+    Works for any params/batch_stats/TrainState pytree — the TP rules
+    match on path suffixes, so training state and bare variable trees
+    (serving, inference) get identical layouts."""
 
     def to_sharding(path, leaf):
         return NamedSharding(mesh, _pspec_for(path, leaf))
 
-    return jax.tree_util.tree_map_with_path(to_sharding, state)
+    return jax.tree_util.tree_map_with_path(to_sharding, tree)
+
+
+def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    """TrainState-shaped pytree of NamedShardings (TP rules + replication)."""
+    return tree_shardings(mesh, state)
 
 
 def _batch_pspec(name: str) -> P:
@@ -200,6 +209,35 @@ def make_sharded_eval_step(model, mesh: Mesh, state: TrainState):
     )
 
 
+def make_sharded_predict_step(model, mesh: Mesh, state: TrainState):
+    """SPMD inference step: (params, batch_stats, batch, supports) → yhat.
+
+    Mesh-mode counterpart of steps.make_predict_step (the reference
+    tlit.py:64-90 inference sweep): batch sharded B-over-data /
+    T-over-time, params under the _TP_RULES layouts, predictions emitted
+    batch-sharded (np.asarray on the result gathers the global array)."""
+
+    def predict_step(params, batch_stats, batch, supports):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            batch["date_feats"],
+            supports,
+            train=False,
+        )
+
+    st_shard = state_shardings(mesh, state)
+    repl = NamedSharding(mesh, P())
+    batch_shard = batch_shardings(
+        mesh, {"x": None, "y": None, "date_feats": None, "w": None}
+    )
+    return jax.jit(
+        predict_step,
+        in_shardings=(st_shard.params, st_shard.batch_stats, batch_shard, repl),
+        out_shardings=batch_shardings(mesh, {"x": None})["x"],
+    )
+
+
 def make_sharded_train_step(
     model, mesh: Mesh, state: TrainState, donate=True, weighted=False,
     compiler_options="auto",
@@ -216,7 +254,10 @@ def make_sharded_train_step(
     compiled shape.
     """
     from multimodal_outage_tpu.core import metrics as M
-    from multimodal_outage_tpu.train.steps import default_compiler_options
+    from multimodal_outage_tpu.train.steps import (
+        _teacher_kwargs,
+        default_compiler_options,
+    )
 
     if compiler_options == "auto":
         compiler_options = default_compiler_options()
@@ -224,6 +265,7 @@ def make_sharded_train_step(
 
     def train_step(state, batch, supports, lr, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        tf_kwargs, tf_rngs = _teacher_kwargs(model, state, batch, dropout_rng)
 
         def loss_fn(params):
             yhat, mutated = model.apply(
@@ -232,8 +274,9 @@ def make_sharded_train_step(
                 batch["date_feats"],
                 supports,
                 train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": dropout_rng, **tf_rngs},
                 mutable=["batch_stats"],
+                **tf_kwargs,
             )
             if weighted:
                 w = batch["w"]

@@ -70,6 +70,7 @@ class ServingModel:
         gwnet_stack: Optional[bool] = None,
         dcrnn_stack: Optional[bool] = None,
         compiler_options="auto",
+        mesh=None,
     ):
         """Pallas kernel policy, set by measured A/Bs (BENCHMARKS.md):
         the whole-stack fused st-GNN kernels (ops/gwnet_stack_pallas.py,
@@ -98,7 +99,16 @@ class ServingModel:
         because the eval forward keeps no backward-needed activations,
         so deeper fusions don't fight a liveness-constrained schedule.
         B=1 requests are routed to a compiler-defaults jit (_make_jits):
-        the budget measured a reproducible ~3.3% B=1 latency loss."""
+        the budget measured a reproducible ~3.3% B=1 latency loss.
+
+        mesh: a jax.sharding.Mesh for SPMD batched serving — params land
+        under the tensor-parallel layouts (parallel.sharding._TP_RULES)
+        and requests shard B-over-data / T-over-time. The whole-stack
+        Pallas kernels are single-device programs, so a mesh engine
+        always takes the XLA module path; keep a mesh-less engine for
+        the latency-critical B=1 kernel route. Request batch size must
+        be divisible by the mesh data axis (pad — see
+        parallel.sharding.pad_batch — or size requests accordingly)."""
         import jax as _jax
 
         from multimodal_outage_tpu.train.steps import (
@@ -110,13 +120,45 @@ class ServingModel:
         self._compiler_options = compiler_options
         self.cfg = cfg
         self._horizon = horizon
+        self.mesh = mesh
+        if mesh is not None:
+            if gwnet_stack or dcrnn_stack or use_pallas or gwnet_pallas \
+                    or interpret:
+                raise ValueError(
+                    "Pallas kernel paths are single-device programs; build "
+                    "the ServingModel without mesh= for the fused B=1 "
+                    "route, or drop the kernel flags for SPMD serving"
+                )
+            gwnet_stack = dcrnn_stack = False
+            gwnet_pallas = False
         # Commit weights to device once — checkpoint restores hand back
         # host numpy arrays, which would otherwise re-transfer per call.
-        self.params = _jax.device_put(variables["params"])
-        self.batch_stats = _jax.device_put(variables.get("batch_stats", {}))
-        self.supports = (
-            _jax.device_put(supports) if supports is not None else None
-        )
+        # With a mesh they land directly under the TP/replicated layouts.
+        if mesh is not None:
+            from multimodal_outage_tpu.parallel.sharding import tree_shardings
+
+            self.params = _jax.tree.map(
+                _jax.device_put,
+                variables["params"],
+                tree_shardings(mesh, variables["params"]),
+            )
+            bs = variables.get("batch_stats", {})
+            self.batch_stats = _jax.tree.map(
+                _jax.device_put, bs, tree_shardings(mesh, bs)
+            )
+        else:
+            self.params = _jax.device_put(variables["params"])
+            self.batch_stats = _jax.device_put(
+                variables.get("batch_stats", {})
+            )
+        if supports is None:
+            self.supports = None
+        elif mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.supports = _jax.device_put(supports, NamedSharding(mesh, P()))
+        else:
+            self.supports = _jax.device_put(supports)
         self.use_pallas = use_pallas
         self.interpret = interpret
         if gwnet_pallas is None:
@@ -243,7 +285,40 @@ class ServingModel:
         ~3.3% B=1 latency LOSS — the deeper fusions it buys pay off on
         big tensors and cost schedule slack on small ones). __call__
         routes by batch size, so each shape compiles exactly once under
-        the jit that wins for it."""
+        the jit that wins for it.
+
+        Mesh engines build one SPMD jit instead: explicit in/out
+        shardings (TP params, B-over-data / T-over-time requests)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multimodal_outage_tpu.parallel.sharding import (
+                batch_shardings,
+                tree_shardings,
+            )
+
+            def fwd(params, batch_stats, x, date_feats, supports):
+                return self._forward(
+                    params, batch_stats, x, date_feats, supports, None, None
+                )
+
+            bsh = batch_shardings(
+                self.mesh, {"x": None, "date_feats": None}
+            )
+            self._jitted = self._jitted_b1 = None
+            self._jitted_mesh = jax.jit(
+                fwd,
+                in_shardings=(
+                    tree_shardings(self.mesh, self.params),
+                    tree_shardings(self.mesh, self.batch_stats),
+                    bsh["x"],
+                    bsh["date_feats"],
+                    NamedSharding(self.mesh, P()),
+                ),
+                out_shardings=bsh["x"],
+                compiler_options=self._compiler_options,
+            )
+            return
         self._jitted = jax.jit(
             self._forward, compiler_options=self._compiler_options
         )
@@ -390,6 +465,20 @@ class ServingModel:
         return y.reshape(b, n, t, hh, ww, -1).astype(jnp.float32)
 
     def __call__(self, x, date_feats):
+        if self.mesh is not None:
+            from multimodal_outage_tpu.core.mesh import DATA_AXIS
+
+            dp = self.mesh.shape[DATA_AXIS]
+            if x.shape[0] % dp:
+                raise ValueError(
+                    f"request batch {x.shape[0]} not divisible by the mesh "
+                    f"data axis {dp} — pad the batch "
+                    "(parallel.sharding.pad_batch) or use a mesh-less "
+                    "engine for B=1 latency serving"
+                )
+            return self._jitted_mesh(
+                self.params, self.batch_stats, x, date_feats, self.supports
+            )
         # folded stack weights travel as jit ARGUMENTS, never closure
         # constants (embedded device constants degrade dispatch)
         jitted = self._jitted_b1 if x.shape[0] == 1 else self._jitted
