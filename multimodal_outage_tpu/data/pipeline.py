@@ -149,9 +149,21 @@ class DevicePipeline:
                 pad = (-frames.shape[0]) % dp
                 if pad:
                     frames = np.pad(frames, [(0, pad)] + [(0, 0)] * 3)
-            self.frames = jax.device_put(
-                frames, NamedSharding(mesh, store_spec)
-            )
+            sharding = NamedSharding(mesh, store_spec)
+            if jax.process_count() > 1:
+                # multi-host: every process holds the packed store (same
+                # data_dir on each host) and contributes exactly its
+                # addressable shards of the global array — replicated, or
+                # its date-range slice under --shard_store. This is the
+                # HBM-resident feeding path at multi-host scale (the
+                # round-3 gap: multi-host used to fall back to per-step
+                # host gathers).
+                self.frames = jax.make_array_from_callback(
+                    frames.shape, sharding, lambda idx: frames[idx]
+                )
+            else:
+                self.frames = jax.device_put(frames, sharding)
+            self._multihost = jax.process_count() > 1
             out_shard = batch_shardings(
                 mesh, {"x": None, "y": None, "date_feats": None}
             )
@@ -163,13 +175,20 @@ class DevicePipeline:
         else:
             self.frames = jax.device_put(np.asarray(store.frames, np.float32))
             self._gather = device_gather_batch
+            self._multihost = False
         self.mean = jnp.asarray(mean, dtype)
         self.std = jnp.asarray(std, dtype)
         self.image_size = image_size
 
     def batch(self, dataset, batch_idx: np.ndarray) -> Dict[str, jnp.ndarray]:
-        pos = jnp.asarray(dataset.window_positions(batch_idx), jnp.int32)
-        feats = jnp.asarray(dataset.window_date_feats(batch_idx))
+        # multi-host: the tiny index/date arrays stay host numpy —
+        # uncommitted inputs are treated as replicated (every process
+        # passes the same global values), which is exactly the contract
+        # here; a jnp.asarray would commit them to one local device and
+        # conflict with the global out_shardings
+        cast = np.asarray if self._multihost else jnp.asarray
+        pos = cast(dataset.window_positions(batch_idx)).astype(jnp.int32)
+        feats = cast(dataset.window_date_feats(batch_idx))
         return self._gather(
             self.frames,
             pos,

@@ -1,7 +1,7 @@
 """Worker for tests/test_multihost.py — one process of a simulated
 multi-host (DCN) data-parallel training run on CPU.
 
-Run as:  python multihost_worker.py <proc_id> <num_procs> <port>
+Run as:  python multihost_worker.py <proc_id> <num_procs> <port> [store_dir]
 
 With num_procs > 1 this process joins a jax.distributed cluster over a
 local coordinator (gloo CPU collectives standing in for DCN) and owns one
@@ -15,12 +15,20 @@ through jax.make_array_from_process_local_data + core.mesh.
 local_batch_slice (the SURVEY §5 multi-host path), alternating the
 global-batch and local-rows feeding variants so both execute — and
 prints the loss trajectory as JSON for the test to compare across modes.
+
+With a 4th argument (a packed-store directory) the run instead feeds
+through data.pipeline.DevicePipeline with --shard_store semantics: the
+HBM-resident store is assembled as a GLOBAL array (date dim sharded over
+the data axis; each process contributes its addressable shards via
+jax.make_array_from_callback) and every batch is a jitted device gather —
+the round-4 multi-host HBM-resident feeding path.
 """
 
 import json
 import sys
 
 proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+store_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
 import jax
 
@@ -62,6 +70,52 @@ def global_batch(step: int, b=4, n=4, t=2, s=16):
     }
 
 
+def device_pipeline_losses(mesh, model, supports, rng):
+    """3 sharded train steps fed by the HBM-resident DevicePipeline with
+    the store's date dim sharded over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_outage_tpu.core.mesh import DATA_AXIS
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+
+    store = load_store(store_dir)
+    ds = WindowDataset(
+        store=store, indices=np.arange(store.frames.shape[0]), horizon=2
+    )
+    pipe = DevicePipeline(
+        store, mean=1.0, std=2.0, image_size=16,
+        dtype=jnp.float32, mesh=mesh, shard_store=True,
+    )
+    w_shard = NamedSharding(mesh, P(DATA_AXIS))
+    b = 4
+
+    def with_w(batch):
+        w = np.ones((b,), np.float32)
+        if jax.process_count() > 1:
+            batch["w"] = jax.make_array_from_callback(
+                w.shape, w_shard, lambda idx: w[idx]
+            )
+        else:
+            batch["w"] = jax.device_put(w, w_shard)
+        return batch
+
+    init_batch = pipe.batch(ds, np.zeros(b, np.int64))
+    state = create_train_state(model, rng, init_batch, supports)
+    state = shard_state(mesh, state)
+    step = make_sharded_train_step(model, mesh, state, donate=False,
+                                   weighted=True)
+    lr = jnp.float32(1e-3)
+    losses = []
+    for i in range(3):
+        sel = (np.arange(b, dtype=np.int64) + i) % len(ds)
+        batch = with_w(pipe.batch(ds, sel))
+        state, metrics = step(state, batch, supports, lr, rng)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
 def main() -> None:
     assert jax.device_count() == 2, jax.devices()
     mesh = make_mesh(data=2)
@@ -69,6 +123,12 @@ def main() -> None:
     model = build_model(model_cfg, horizon=2)
     supports = jnp.eye(4)[None]
     rng = jax.random.PRNGKey(0)
+
+    if store_dir is not None:
+        losses = device_pipeline_losses(mesh, model, supports, rng)
+        print("RESULT " + json.dumps({"proc": proc_id, "losses": losses}),
+              flush=True)
+        return
 
     init_batch = {
         k: jnp.asarray(v) for k, v in global_batch(0).items() if k != "w"

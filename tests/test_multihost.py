@@ -105,3 +105,59 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(multi[0], ref, rtol=1e-5)
     # and training actually progressed
     assert ref[-1] < ref[0]
+
+
+@pytest.mark.slow
+def test_two_process_device_pipeline_matches_single_process(tiny_store_dir):
+    """Round-4 mandate: the HBM-resident DevicePipeline feeds MULTI-HOST
+    training too — store assembled as a global array (date dim sharded
+    over data, each process contributing its addressable shards), batches
+    emitted by the jitted device gather. Loss trajectory must equal the
+    identical single-process DevicePipeline run."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), "2", str(port), tiny_store_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=_worker_env(),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    multi = [_parse_losses_text(out) for out in outs]
+    np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=0)
+
+    single = subprocess.run(
+        [sys.executable, _WORKER, "0", "1", "0", tiny_store_dir],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=600,
+        env=_worker_env(
+            XLA_FLAGS="--xla_force_host_platform_device_count=2"
+        ),
+    )
+    assert single.returncode == 0, (
+        f"single worker failed:\n{single.stdout[-3000:]}"
+    )
+    ref = _parse_losses(single)
+    np.testing.assert_allclose(multi[0], ref, rtol=1e-5)
+
+
+def _parse_losses_text(out: str) -> list:
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])["losses"]
+    raise AssertionError(f"worker produced no RESULT line:\n{out[-3000:]}")
