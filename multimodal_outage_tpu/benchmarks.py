@@ -1348,6 +1348,103 @@ def bench_serving_sharded(steps=10) -> Dict:
     }
 
 
+def bench_auto_layout(steps=12) -> Dict:
+    """XLA auto layout assignment for the headline train step's
+    arguments (jax.experimental.layout Format(Layout.AUTO), AOT compile):
+    default jit pins JAX's default layouts on every entry/exit buffer,
+    and the r3 profile's 26.7% copy bucket includes whatever relayouts
+    XLA must insert to get from those to its preferred internal layouts.
+    Letting layout assignment choose the boundary layouts (state donated,
+    so its in/out layouts unify and persist across steps) removes the
+    state-side relayouts entirely; per-batch feeds are device_put into
+    the chosen layout (counted in the measured window — that transfer is
+    exactly the cost the default path pays as an in-program relayout).
+
+    Interleaved A/B against the stock jitted step on the REAL e2e path.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    from multimodal_outage_tpu.train.steps import (
+        default_compiler_options,
+        make_train_step,
+    )
+
+    b = 8
+    su = make_e2e_setup(b)  # donate=True: the headline config
+    ds, pipe = su["ds"], su["pipe"]
+    model, supports = su["model"], su["supports"]
+    lr, rng = su["lr"], su["rng"]
+    n_samples = len(ds)
+    base_step = su["step"]
+
+    # two independent state chains — both candidates donate theirs
+    state_a = su["state"]
+    state_b = jax.tree.map(jnp.array, state_a)
+
+    # candidate B: the same step, AOT-compiled with AUTO layouts
+    raw = make_train_step(model, donate=True, raw=True)
+    auto_jit = jax.jit(
+        raw,
+        in_shardings=Format(Layout.AUTO),
+        out_shardings=Format(Layout.AUTO),
+        donate_argnums=(0,),
+        compiler_options=default_compiler_options(),
+    )
+    batch0 = pipe.batch(ds, np.arange(b))
+    compiled = auto_jit.lower(
+        state_b, batch0, supports, lr, rng
+    ).compile()
+    state_fmt, batch_fmt, sup_fmt, lr_fmt, rng_fmt = compiled.input_formats[0]
+    # how many entry buffers got a non-default layout (0 ⇒ the compiler
+    # already liked the defaults and any measured delta is noise)
+    changed = sum(
+        int(repr(want.layout) != repr(have.format.layout))
+        for want, have in zip(
+            jax.tree.leaves((state_fmt, batch_fmt, sup_fmt)),
+            jax.tree.leaves((state_b, batch0, supports)),
+        )
+    )
+    state_auto = jax.device_put(state_b, state_fmt)
+    sup_auto = jax.device_put(supports, sup_fmt)
+    lr_auto = jax.device_put(lr, lr_fmt)
+    rng_auto = jax.device_put(rng, rng_fmt)
+    holder = {"base": state_a, "auto": state_auto, "i": 0}
+
+    def next_batch():
+        batch = pipe.batch(ds, (np.arange(b) + holder["i"]) % (n_samples - b))
+        holder["i"] += 1
+        return batch
+
+    def run_base():
+        holder["base"], m = base_step(
+            holder["base"], next_batch(), supports, lr, rng
+        )
+        return m["loss"]
+
+    def run_auto():
+        batch = jax.device_put(next_batch(), batch_fmt)
+        holder["auto"], m = compiled(
+            holder["auto"], batch, sup_auto, lr_auto, rng_auto
+        )
+        return m["loss"]
+
+    res = _interleaved_ab({"default": run_base, "auto": run_auto}, steps)
+    tiles = b * su["store"].n_counties * 7
+    return {
+        "metric": "auto_layout_speedup",
+        "value": round(res["default"] / res["auto"], 4),
+        "unit": "default/auto step-time ratio (b=8 e2e, >1 ⇒ auto wins)",
+        "vs_baseline": None,
+        "detail": {
+            "default_tiles_per_sec": round(tiles / res["default"], 1),
+            "auto_tiles_per_sec": round(tiles / res["auto"], 1),
+            "default_step_ms": round(res["default"] * 1e3, 2),
+            "auto_step_ms": round(res["auto"] * 1e3, 2),
+            "args_with_non_default_layout": changed,
+        },
+    }
+
+
 _BENCHMARKS = {
     "e2e_train": bench_e2e_train,
     "batch_scaling": bench_batch_scaling,
@@ -1369,6 +1466,7 @@ _BENCHMARKS = {
     "sharded_pipeline": bench_sharded_pipeline,
     "serving_sharded": bench_serving_sharded,
     "grad_accum_sync": bench_grad_accum_sync,
+    "auto_layout": bench_auto_layout,
 }
 
 

@@ -72,10 +72,13 @@ def _teacher_kwargs(model, state, batch, dropout_rng):
 
 
 def make_train_step(
-    model, donate: bool = True, compiler_options="auto"
+    model, donate: bool = True, compiler_options="auto", raw: bool = False
 ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """compiler_options: dict of XLA options for jax.jit, None for the
     compiler defaults, or "auto" (default) for default_compiler_options().
+    raw=True returns the UNJITTED step for callers that compile it
+    themselves (e.g. the auto-layout bench's Format(Layout.AUTO) AOT
+    compile); donate/compiler_options are then the caller's job.
     """
     if compiler_options == "auto":
         compiler_options = default_compiler_options()
@@ -119,6 +122,8 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if raw:
+        return train_step
     donate_argnums = (0,) if donate else ()
     return jax.jit(
         train_step,
