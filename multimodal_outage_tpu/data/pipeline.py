@@ -20,32 +20,49 @@ import numpy as np
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("image_size",))
+def default_frame_transform(win, mean, std, image_size: int):
+    """Resize(image_size) + Normalize(mean, std) on a [B, N, T, H, W]
+    window — the default the reference installs when the caller passes
+    transform=None (reference utils.py:35-38). Returns [B,N,T,s,s,1]."""
+    if win.shape[-1] != image_size:
+        b, n, t = win.shape[:3]
+        win = jax.image.resize(
+            win, (b, n, t, image_size, image_size), method="bilinear"
+        )
+    return (win[..., None] - mean) / std
+
+
+@partial(jax.jit, static_argnames=("image_size", "frame_transform"))
 def preprocess_batch(
     batch: Dict[str, jnp.ndarray],
     mean: jnp.ndarray,
     std: jnp.ndarray,
     image_size: int,
+    frame_transform=None,
 ) -> Dict[str, jnp.ndarray]:
     """[B,T,N,H,W] raw → model inputs.
+
+    frame_transform: optional jittable [B,N,T,H,W] → [B,N,T,s,s,C]
+    function that REPLACES the default Resize+Normalize, mirroring the
+    reference's injectable dataset transform (utils.py:14,35-38). It is
+    traced into the compiled program, so it must be pure JAX (a plain
+    def/top-level function — jit treats it as a static argument).
 
     Returns:
       x: [B, N, T, H, W, 1] normalized past frames
       y: [B, N, T, H, W, 1] normalized future frames
       date_feats: [B, T, 6]
     """
+    tf = frame_transform or partial(
+        default_frame_transform,
+        mean=mean, std=std, image_size=image_size,
+    )
 
     def to_model_layout(v):
-        v = jnp.transpose(v, (0, 2, 1, 3, 4))  # [B, N, T, H, W]
-        if v.shape[-1] != image_size:
-            b, n, t = v.shape[:3]
-            v = jax.image.resize(
-                v, (b, n, t, image_size, image_size), method="bilinear"
-            )
-        return v[..., None]
+        return tf(jnp.transpose(v, (0, 2, 1, 3, 4)))  # [B, N, T, H, W]
 
-    x = (to_model_layout(batch["past"]) - mean) / std
-    y = (to_model_layout(batch["future"]) - mean) / std
+    x = to_model_layout(batch["past"])
+    y = to_model_layout(batch["future"])
     return {"x": x, "y": y, "date_feats": batch["date_feats"]}
 
 
@@ -62,6 +79,7 @@ def _device_gather_impl(
     std: jnp.ndarray,
     horizon: int,
     image_size: int,
+    frame_transform=None,
 ) -> Dict[str, jnp.ndarray]:
     """Device-resident batch assembly: HBM gathers + layout + normalize.
 
@@ -74,17 +92,17 @@ def _device_gather_impl(
     larger than HBM.
     """
     b = pos.shape[0]
+    tf = frame_transform or partial(
+        default_frame_transform,
+        mean=mean, std=std, image_size=image_size,
+    )
 
     def gather_window(p, dtype):  # p: [B, horizon]
         win = jnp.take(frames, p.reshape(-1), axis=0)  # [B·h, N, H, W]
         n, h, w = win.shape[1:]
         win = win.reshape(b, horizon, n, h, w)
         win = jnp.transpose(win, (0, 2, 1, 3, 4))  # [B, N, h, H, W]
-        if h != image_size:
-            win = jax.image.resize(
-                win, (b, n, horizon, image_size, image_size), method="bilinear"
-            )
-        return ((win[..., None] - mean) / std).astype(dtype)
+        return tf(win).astype(dtype)
 
     return {
         # model input may be reduced precision; the TARGET stays float32 —
@@ -97,7 +115,7 @@ def _device_gather_impl(
 
 
 device_gather_batch = partial(
-    jax.jit, static_argnames=("horizon", "image_size")
+    jax.jit, static_argnames=("horizon", "image_size", "frame_transform")
 )(_device_gather_impl)
 
 
@@ -108,7 +126,11 @@ class DevicePipeline:
     dtype: dtype of the model-input (`x`) batches; bfloat16 (default)
     halves their HBM footprint. The frame store and the `y` targets stay
     float32 so metric semantics (especially MAPE's near-zero
-    denominators) match the reference exactly."""
+    denominators) match the reference exactly.
+
+    frame_transform: optional jittable [B,N,T,H,W] → [B,N,T,s,s,C]
+    function replacing the default Resize+Normalize inside the compiled
+    gather (reference's injectable dataset transform, utils.py:14)."""
 
     def __init__(
         self,
@@ -119,6 +141,7 @@ class DevicePipeline:
         dtype=jnp.bfloat16,
         mesh=None,
         shard_store: bool = False,
+        frame_transform=None,
     ):
         dtype = jnp.dtype(dtype)
         if mesh is not None:
@@ -169,7 +192,7 @@ class DevicePipeline:
             )
             self._gather = jax.jit(
                 _device_gather_impl,
-                static_argnames=("horizon", "image_size"),
+                static_argnames=("horizon", "image_size", "frame_transform"),
                 out_shardings=out_shard,
             )
         else:
@@ -179,6 +202,7 @@ class DevicePipeline:
         self.mean = jnp.asarray(mean, dtype)
         self.std = jnp.asarray(std, dtype)
         self.image_size = image_size
+        self.frame_transform = frame_transform
 
     def batch(self, dataset, batch_idx: np.ndarray) -> Dict[str, jnp.ndarray]:
         # multi-host: the tiny index/date arrays stay host numpy —
@@ -197,6 +221,7 @@ class DevicePipeline:
             self.std,
             dataset.horizon,
             self.image_size,
+            frame_transform=self.frame_transform,
         )
 
 
@@ -216,11 +241,13 @@ class PrefetchIterator:
         image_size: int,
         device: Optional[jax.Device] = None,
         depth: int = 2,
+        frame_transform=None,
     ):
         self._it = iter(host_batches)
         self._mean = jnp.float32(mean)
         self._std = jnp.float32(std)
         self._image_size = image_size
+        self._frame_transform = frame_transform
         self._device = device
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
@@ -249,7 +276,8 @@ class PrefetchIterator:
                     for k, v in host_batch.items()
                 }
                 batch = preprocess_batch(
-                    dev, self._mean, self._std, self._image_size
+                    dev, self._mean, self._std, self._image_size,
+                    frame_transform=self._frame_transform,
                 )
                 if not self._put(batch):
                     return

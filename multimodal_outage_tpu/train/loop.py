@@ -152,10 +152,15 @@ def prepare_datasets(
     return ds, train_idx, val_idx, test_ds
 
 
-def make_pipeline(cfg: Config, store, mesh=None):
+def make_pipeline(cfg: Config, store, mesh=None, frame_transform=None):
     """Choose the input path: HBM-resident device gather when the store
     fits the budget (the TPU-native default), host prefetch otherwise.
-    With a mesh, the device pipeline emits batches already sharded."""
+    With a mesh, the device pipeline emits batches already sharded.
+
+    frame_transform: optional jittable [B,N,T,H,W] → [B,N,T,s,s,C]
+    function REPLACING the built-in Resize+Normalize inside the compiled
+    gather/preprocess — the reference dataset's injectable transform
+    slot (utils.py:14,35-38)."""
     from multimodal_outage_tpu.data.pipeline import DevicePipeline
 
     if cfg.data.pipeline == "host":
@@ -180,13 +185,14 @@ def make_pipeline(cfg: Config, store, mesh=None):
             dtype=_jnp.dtype(cfg.data.device_dtype),
             mesh=mesh,
             shard_store=cfg.data.shard_store,
+            frame_transform=frame_transform,
         )
     return None
 
 
 def _epoch_iter(
     ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None,
-    mesh=None, transform=None,
+    mesh=None, transform=None, frame_transform=None,
 ):
     """All batch streams (device gather / host prefetch / mesh-sharded)
     funnel through here.
@@ -197,8 +203,13 @@ def _epoch_iter(
     (reference utils.py:14,35-38; it only ever passes Resize+Normalize,
     which are built in). Runs on device-resident arrays; jit it (or keep
     it to jnp ops) for performance. Mesh batches carry the 'w' pad-mask
-    row — transforms must preserve it."""
-    it = _epoch_iter_raw(ds, idx, cfg, shuffle, seed, device_pipe, mesh)
+    row — transforms must preserve it.
+
+    frame_transform: the REPLACE-semantics slot (see make_pipeline) for
+    the host-path preprocess; a device pipe already carries its own."""
+    it = _epoch_iter_raw(
+        ds, idx, cfg, shuffle, seed, device_pipe, mesh, frame_transform
+    )
     if transform is None:
         return it
 
@@ -210,10 +221,13 @@ def _epoch_iter(
 
 
 def _epoch_iter_raw(
-    ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None, mesh=None
+    ds, idx, cfg: Config, shuffle: bool, seed: int, device_pipe=None,
+    mesh=None, frame_transform=None,
 ):
     if mesh is not None:
-        return _mesh_epoch_iter(ds, idx, cfg, shuffle, seed, device_pipe, mesh)
+        return _mesh_epoch_iter(
+            ds, idx, cfg, shuffle, seed, device_pipe, mesh, frame_transform
+        )
     if device_pipe is not None:
 
         def dev_gen():
@@ -233,10 +247,14 @@ def _epoch_iter_raw(
         std=cfg.data.std,
         image_size=cfg.data.image_size,
         depth=cfg.data.prefetch,
+        frame_transform=frame_transform,
     )
 
 
-def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
+def _mesh_epoch_iter(
+    ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh,
+    frame_transform=None,
+):
     """SPMD batch stream: every batch is padded to the full batch size
     (one compiled shape), carries a 'w' sample-weight row masking the pad
     rows (parallel.sharding.pad_batch semantics), and lands on the mesh
@@ -287,6 +305,7 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
                 jnp.float32(cfg.data.mean),
                 jnp.float32(cfg.data.std),
                 cfg.data.image_size,
+                frame_transform=frame_transform,
             )
             batch = shard_local_batch(mesh, {**local, "w": w[sl]}, bs)
         else:
@@ -296,6 +315,7 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
                 jnp.float32(cfg.data.mean),
                 jnp.float32(cfg.data.std),
                 cfg.data.image_size,
+                frame_transform=frame_transform,
             )
             batch = shard_batch(mesh, {**batch, "w": w})
         yield batch
@@ -303,13 +323,13 @@ def _mesh_epoch_iter(ds, idx, cfg: Config, shuffle, seed, device_pipe, mesh):
 
 def evaluate(
     eval_step, state: TrainState, ds, idx, cfg: Config, supports,
-    device_pipe=None, mesh=None, transform=None,
+    device_pipe=None, mesh=None, transform=None, frame_transform=None,
 ) -> Dict[str, float]:
     """Mean of per-batch metrics (reference lit.py:100-106 reduction)."""
     agg = M.MeanAggregator()
     for batch in _epoch_iter(
         ds, idx, cfg, shuffle=False, seed=0, device_pipe=device_pipe,
-        mesh=mesh, transform=transform,
+        mesh=mesh, transform=transform, frame_transform=frame_transform,
     ):
         agg.update(eval_step(state.params, state.batch_stats, batch, supports))
     return agg.compute()
@@ -320,7 +340,9 @@ def _metric_add(acc, m):
     return jax.tree.map(lambda a, b: a + b, acc, m)
 
 
-def _sample_batch(cfg: Config, ds, device_pipe, n_rows: int = 1):
+def _sample_batch(
+    cfg: Config, ds, device_pipe, n_rows: int = 1, frame_transform=None
+):
     """One batch for model/optimizer init (shapes only). n_rows must be
     the full batch size in mesh mode — the sharded gather emits batches
     partitioned over the data axis, so B must divide evenly."""
@@ -335,6 +357,7 @@ def _sample_batch(cfg: Config, ds, device_pipe, n_rows: int = 1):
         jnp.float32(cfg.data.mean),
         jnp.float32(cfg.data.std),
         cfg.data.image_size,
+        frame_transform=frame_transform,
     )
 
 
@@ -344,12 +367,18 @@ def fit(
     run_dir: Optional[str] = None,
     progress: bool = True,
     transform=None,
+    frame_transform=None,
 ) -> Dict[str, float]:
     """Train with early stopping; returns final best-model metrics.
 
     transform: optional per-batch function dict→dict applied after the
     built-in resize+normalize (see _epoch_iter) — the injectable-
-    transform interface of the reference dataset (utils.py:14)."""
+    transform interface of the reference dataset (utils.py:14).
+    frame_transform: optional jittable [B,N,T,H,W] → [B,N,T,s,s,C]
+    function REPLACING the built-in Resize+Normalize wholesale, exactly
+    the reference's transform slot semantics (it installs
+    Compose([Resize, Normalize]) only when the caller passes None,
+    utils.py:35-38); compiled into the gather/preprocess program."""
     # fail fast on bad flags before touching the store or any device
     leave_one_out(test_case)
     from multimodal_outage_tpu.core.registry import get_st_gnn
@@ -401,12 +430,15 @@ def fit(
             )
         if progress:
             print(f"SPMD mesh: {dict(mesh.shape)}")
-    device_pipe = make_pipeline(cfg, ds.store, mesh=mesh)
+    device_pipe = make_pipeline(
+        cfg, ds.store, mesh=mesh, frame_transform=frame_transform
+    )
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     sample_dev = _sample_batch(
         cfg, ds, device_pipe,
         n_rows=cfg.train.batch_size if mesh is not None else 1,
+        frame_transform=frame_transform,
     )
     state = create_train_state(
         model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
@@ -580,6 +612,7 @@ def fit(
         for batch in _epoch_iter(
             ds, train_idx, cfg, shuffle=True, seed=cfg.train.seed + epoch,
             device_pipe=device_pipe, mesh=mesh, transform=transform,
+            frame_transform=frame_transform,
         ):
             if (
                 cfg.train.profile_dir
@@ -624,7 +657,7 @@ def fit(
 
         val_metrics = evaluate(
             eval_step, state, ds, val_idx, cfg, supports, device_pipe,
-            mesh=mesh, transform=transform,
+            mesh=mesh, transform=transform, frame_transform=frame_transform,
         )
         dt = time.time() - t0
         tiles = len(train_idx) * ds.store.n_counties * cfg.data.horizon
@@ -675,12 +708,12 @@ def fit(
     )
     final_val = evaluate(
         eval_step, best_state, ds, val_idx, cfg, supports, device_pipe,
-        mesh=mesh, transform=transform,
+        mesh=mesh, transform=transform, frame_transform=frame_transform,
     )
     test_all = np.arange(len(test_ds))
     final_test = evaluate(
         eval_step, best_state, test_ds, test_all, cfg, supports, device_pipe,
-        mesh=mesh, transform=transform,
+        mesh=mesh, transform=transform, frame_transform=frame_transform,
     )
     results = {
         "best_epoch": best_epoch,
@@ -708,6 +741,7 @@ def serve_eval(
     latency_stats: bool = False,
     collect_preds: bool = False,
     transform=None,
+    frame_transform=None,
 ) -> Tuple[Optional[np.ndarray], Dict[str, float], Dict[str, float]]:
     """Sweep the held-out hurricane through the optimized ServingModel
     (BN folding, dropout elision, fused gwnet kernel — serving.py).
@@ -733,10 +767,13 @@ def serve_eval(
     model = build_model(cfg.model, cfg.data.horizon)
     mesh = _inference_mesh(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    device_pipe = make_pipeline(cfg, store, mesh=mesh)
+    device_pipe = make_pipeline(
+        cfg, store, mesh=mesh, frame_transform=frame_transform
+    )
     sample_dev = _sample_batch(
         cfg, test_ds, device_pipe,
         n_rows=cfg.train.batch_size if mesh is not None else 1,
+        frame_transform=frame_transform,
     )
     state = create_train_state(
         model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
@@ -777,6 +814,7 @@ def serve_eval(
     for batch in _epoch_iter(
         test_ds, all_idx, cfg, shuffle=False, seed=0,
         device_pipe=device_pipe, mesh=mesh, transform=transform,
+        frame_transform=frame_transform,
     ):
         yhat = serve(batch["x"], batch["date_feats"])
         if mesh is not None:
@@ -830,6 +868,7 @@ def predict(
     test_case: str,
     step: Optional[int] = None,
     transform=None,
+    frame_transform=None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
     """Inference harness (reference tlit.py:46-94): load checkpoint, sweep
     the held-out hurricane, return (preds, targets, metrics).
@@ -853,10 +892,13 @@ def predict(
 
     mesh = _inference_mesh(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    device_pipe = make_pipeline(cfg, store, mesh=mesh)
+    device_pipe = make_pipeline(
+        cfg, store, mesh=mesh, frame_transform=frame_transform
+    )
     sample_dev = _sample_batch(
         cfg, test_ds, device_pipe,
         n_rows=cfg.train.batch_size if mesh is not None else 1,
+        frame_transform=frame_transform,
     )
     state = create_train_state(
         model, rng, sample_dev, supports, d2v_bundle=cfg.model.d2v_bundle
@@ -909,6 +951,7 @@ def predict(
     for batch in _epoch_iter(
         test_ds, all_idx, cfg, shuffle=False, seed=0,
         device_pipe=device_pipe, mesh=mesh, transform=transform,
+        frame_transform=frame_transform,
     ):
         yhat = predict_step(
             restored["params"], restored["batch_stats"], batch, supports

@@ -54,6 +54,66 @@ def test_transform_reaches_every_stream(tiny_store_dir, tmp_path):
     assert m_zero["loss"] != m_plain["loss"]
 
 
+def _double_normalize(win):
+    """A REPLACEMENT frame transform: same resize+normalize, then ×2 —
+    trivially distinguishable from the built-in default."""
+    from multimodal_outage_tpu.data.pipeline import default_frame_transform
+
+    return 2.0 * default_frame_transform(win, 3.2, 10.4, 16)
+
+
+def test_frame_transform_replaces_default_in_device_pipeline(tiny_store):
+    """frame_transform REPLACES the built-in Resize+Normalize inside the
+    compiled device gather — the reference's transform slot semantics
+    (utils.py:35-38: the default Compose is installed only when the
+    caller passes None)."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    ds = WindowDataset.from_case_study(
+        tiny_store, HURRICANES, dataset_range=12, horizon=2
+    )
+    idx = np.arange(2)
+    plain = DevicePipeline(tiny_store, 3.2, 10.4, 16).batch(ds, idx)
+    custom = DevicePipeline(
+        tiny_store, 3.2, 10.4, 16, frame_transform=_double_normalize
+    ).batch(ds, idx)
+    for k in ("x", "y"):
+        np.testing.assert_allclose(
+            np.asarray(custom[k], np.float32),
+            2.0 * np.asarray(plain[k], np.float32),
+            # x is bf16; and the pipe normalizes with bf16-cast mean/std
+            # while the custom transform uses f32 constants, so near-zero
+            # normalized values need an absolute floor
+            rtol=2e-2, atol=2e-2,
+        )
+    np.testing.assert_array_equal(custom["date_feats"], plain["date_feats"])
+
+
+def test_frame_transform_replaces_default_in_host_preprocess(tiny_store):
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import preprocess_batch
+
+    ds = WindowDataset.from_case_study(
+        tiny_store, HURRICANES, dataset_range=12, horizon=2
+    )
+    host = ds.gather_batch(np.arange(2))
+    import jax.numpy as jnp
+
+    mean, std = jnp.float32(3.2), jnp.float32(10.4)
+    plain = preprocess_batch(jax.device_put(host), mean, std, 16)
+    custom = preprocess_batch(
+        jax.device_put(host), mean, std, 16,
+        frame_transform=_double_normalize,
+    )
+    for k in ("x", "y"):
+        np.testing.assert_allclose(
+            np.asarray(custom[k]), 2.0 * np.asarray(plain[k]), rtol=1e-5
+        )
+
+
 @pytest.mark.slow
 def test_fit_accepts_transform(tiny_store_dir, tmp_path):
     from multimodal_outage_tpu.train.loop import fit
@@ -65,7 +125,10 @@ def test_fit_accepts_transform(tiny_store_dir, tmp_path):
         seen.append(1)
         return batch
 
+    # both slots at once: the post-preprocess hook (identity spy) and a
+    # REPLACEMENT frame transform feeding the whole run
     results = fit(
-        cfg, test_case="michael", progress=False, transform=identity
+        cfg, test_case="michael", progress=False, transform=identity,
+        frame_transform=_double_normalize,
     )
     assert seen and np.isfinite(results["val_loss"])
