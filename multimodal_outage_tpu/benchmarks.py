@@ -44,8 +44,11 @@ def _device_batch(b, n, t, s, c=1, seed=0):
 
 
 def _fetch(x) -> float:
-    """True device sync: pull a scalar element to the host."""
-    return float(jnp.ravel(x)[0])
+    """True device sync: pull a scalar element to the host. Indexes
+    element zero directly — `jnp.ravel(x)[0]` compiles a full 1-D
+    relayout of x first, which RESOURCE_EXHAUSTs on the axon backend
+    for large 4-D arrays (observed on the pool-kernel cotangent)."""
+    return float(x[(0,) * getattr(x, "ndim", 0)])
 
 
 def _latency_windows(
@@ -593,6 +596,110 @@ def bench_layout_matrix(steps=10, b=8) -> Dict:
         "unit": f"tiles/sec/chip (best {best}, interleaved, donate=False)",
         "vs_baseline": round(
             detail[best] / max(detail["base"], 1e-9), 3
+        ),
+        "detail": detail,
+    }
+
+
+def bench_pool_pallas(steps=10, b=8) -> Dict:
+    """Round-4 lever (f→g): the Pallas 2×2 max-pool fwd/bwd kernel pair
+    (ops/pool_pallas.py) vs the reduce_window lowering, interleaved on
+    the REAL e2e train path — the one copy-stall lever the r3 matrix
+    never tried (all its pool variants were XLA relowerings; this one
+    keeps the standard tiling and does every shuffle on the MXU).
+    Also reports the ISOLATED pool fwd+bwd time at the b=8 stem shape,
+    so a win/loss decomposes into kernel-time vs boundary-relayout."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+    from multimodal_outage_tpu.ops.pool_pallas import max_pool_2x2_pallas
+
+    t, s = 7, 128
+    store = load_store(_e2e_store_dir())
+    ds = WindowDataset.from_case_study(
+        store, HURRICANES, dataset_range=15, horizon=t
+    )
+    n = store.n_counties
+    supports = jnp.eye(n)[None]
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+    n_samples = len(ds)
+
+    # isolated pool fwd+bwd at the stem shape FIRST (the e2e phase keeps
+    # two donate=False train states alive — running the probe after them
+    # OOMs a 16 GB chip)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (b * n * t, s, s, 4), jnp.bfloat16
+    )
+    g = jax.random.normal(
+        jax.random.PRNGKey(2), (b * n * t, s // 2, s // 2, 4), jnp.bfloat16
+    )
+    import flax.linen as _fnn
+
+    ref_pool = lambda u: _fnn.max_pool(  # noqa: E731
+        u, window_shape=(2, 2), strides=(2, 2)
+    )
+
+    def _iso(fn):
+        vjp = jax.jit(lambda u, c: jax.vjp(fn, u)[1](c)[0])
+        holder = {}
+
+        def run():
+            holder["out"] = vjp(x, g)
+            return holder["out"]
+
+        return run
+
+    iso = _interleaved_ab(
+        {
+            "iso_reduce_window": _iso(ref_pool),
+            "iso_pallas": _iso(
+                lambda u: max_pool_2x2_pallas(u, False)
+            ),
+        },
+        steps,
+    )
+    detail = {name: round(1e3 * sec, 3) for name, sec in iso.items()}
+    del x, g
+    pipe = DevicePipeline(store, 3.2, 10.4, s)
+
+    def _make_run(pool):
+        model = build_model(
+            ModelConfig(compute_dtype="bfloat16", pool=pool), horizon=t
+        )
+        batch0 = pipe.batch(ds, np.arange(b))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+        holder = {"state": state, "i": 0}
+
+        def run():
+            batch = pipe.batch(
+                ds, (np.arange(b) + holder["i"]) % (n_samples - b)
+            )
+            holder["i"] += 1
+            holder["state"], m = step(
+                holder["state"], batch, supports, lr, rng
+            )
+            return m["loss"]
+
+        return run
+
+    fns = {
+        "reduce_window": _make_run("reduce_window"),
+        "pallas": _make_run("pallas"),
+    }
+    res = _interleaved_ab(fns, steps)
+    tiles = b * n * t
+    detail.update({name: round(tiles / sec, 1) for name, sec in res.items()})
+
+    return {
+        "metric": "pool_pallas_tiles_per_sec",
+        "value": detail["pallas"],
+        "unit": "tiles/sec/chip (e2e train step, interleaved, "
+        "donate=False; iso_* in ms fwd+bwd at the stem shape)",
+        "vs_baseline": round(
+            detail["pallas"] / max(detail["reduce_window"], 1e-9), 3
         ),
         "detail": detail,
     }
@@ -1457,6 +1564,7 @@ _BENCHMARKS = {
     "gwnet_stack": bench_gwnet_stack,
     "dcrnn_stack": bench_dcrnn_stack,
     "layout_matrix": bench_layout_matrix,
+    "pool_pallas": bench_pool_pallas,
     "conv_layout": bench_conv_layout,
     "roofline": bench_roofline,
     "serving_roofline": bench_serving_roofline,

@@ -127,11 +127,13 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         "default — BENCHMARKS.md); 0 keeps the compiler default",
     )
     p.add_argument(
-        "--pool", choices=["reduce_window", "pairwise"],
+        "--pool", choices=["reduce_window", "pairwise", "pallas"],
         default="reduce_window",
         help="2×2 max-pool lowering (reduce_window: flax nn.max_pool, "
         "measured fastest e2e; pairwise: strided-slice maximums, "
-        "measured 23%% slower at b=8 — see BENCHMARKS.md layout matrix)",
+        "measured 23%% slower at b=8; pallas: layout-stable fused "
+        "fwd/bwd kernel pair, ops/pool_pallas.py — see BENCHMARKS.md "
+        "layout matrix)",
     )
 
 

@@ -154,10 +154,10 @@ class ModelConfig:
                 f"remat_scope must be 'all' or 'stem', got "
                 f"{self.remat_scope!r}"
             )
-        if self.pool not in ("reduce_window", "pairwise"):
+        if self.pool not in ("reduce_window", "pairwise", "pallas"):
             raise ValueError(
-                f"pool must be 'reduce_window' or 'pairwise', got "
-                f"{self.pool!r}"
+                f"pool must be 'reduce_window', 'pairwise', or 'pallas', "
+                f"got {self.pool!r}"
             )
 
     @property

@@ -179,11 +179,28 @@ def max_pool_2x2(x: jnp.ndarray, impl: str = "reduce_window") -> jnp.ndarray:
     identical across impls; gradients differ only on exact intra-window
     ties (jnp.maximum routes ties to one operand, select-and-scatter to
     the first scan-order element). Odd spatial dims always fall back to
-    reduce_window."""
+    reduce_window.
+    impl="pallas": layout-stable fused forward/backward kernel pair
+    (ops/pool_pallas.py — scanline-pair max + MXU selection matmuls,
+    deterministic single-winner VJP); requires even H/W and W·C a
+    multiple of 128, else falls back to reduce_window; interpreted off
+    TPU so CPU tests exercise the same code path."""
     h, w = x.shape[-3], x.shape[-2]
     if impl == "pairwise" and h % 2 == 0 and w % 2 == 0:
         x = jnp.maximum(x[..., 0::2, :, :], x[..., 1::2, :, :])
         return jnp.maximum(x[..., 0::2, :], x[..., 1::2, :])
+    if impl == "pallas":
+        from multimodal_outage_tpu.ops.pool_pallas import (
+            max_pool_2x2_pallas,
+            supports_shape,
+        )
+
+        if supports_shape(x):
+            import jax as _jax
+
+            return max_pool_2x2_pallas(
+                x, _jax.default_backend() != "tpu"
+            )
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
