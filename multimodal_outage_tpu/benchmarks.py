@@ -705,6 +705,71 @@ def bench_pool_pallas(steps=10, b=8) -> Dict:
     }
 
 
+def bench_remat_conv(steps=10, b=8) -> Dict:
+    """Round-4 lever (h): remat_scope="conv" — every U-Net block under
+    jax.checkpoint with the save_only_these_names("conv_out") policy, so
+    conv/convT outputs stay saved and only the BN-normalize/ReLU/pool/
+    concat tails recompute in the backward. Unlike levers (a)/(a'), this
+    trades HBM *stores* of the elementwise-tail activations for cheap
+    VPU recompute without re-running any conv. Interleaved on the REAL
+    e2e train path vs the no-remat base."""
+    from multimodal_outage_tpu.core.registry import HURRICANES
+    from multimodal_outage_tpu.data.dataset import WindowDataset
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+    from multimodal_outage_tpu.data.store import load_store
+
+    t, s = 7, 128
+    store = load_store(_e2e_store_dir())
+    ds = WindowDataset.from_case_study(
+        store, HURRICANES, dataset_range=15, horizon=t
+    )
+    n = store.n_counties
+    supports = jnp.eye(n)[None]
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+    n_samples = len(ds)
+    pipe = DevicePipeline(store, 3.2, 10.4, s)
+
+    def _make_run(kw):
+        model = build_model(
+            ModelConfig(compute_dtype="bfloat16", **kw), horizon=t
+        )
+        batch0 = pipe.batch(ds, np.arange(b))
+        state = create_train_state(model, rng, batch0, supports)
+        step = make_train_step(model, donate=False)
+        holder = {"state": state, "i": 0}
+
+        def run():
+            batch = pipe.batch(
+                ds, (np.arange(b) + holder["i"]) % (n_samples - b)
+            )
+            holder["i"] += 1
+            holder["state"], m = step(
+                holder["state"], batch, supports, lr, rng
+            )
+            return m["loss"]
+
+        return run
+
+    fns = {
+        "base": _make_run(dict(remat=False)),
+        "remat_conv": _make_run(dict(remat=True, remat_scope="conv")),
+    }
+    res = _interleaved_ab(fns, steps)
+    tiles = b * n * t
+    detail = {name: round(tiles / sec, 1) for name, sec in res.items()}
+    return {
+        "metric": "remat_conv_tiles_per_sec",
+        "value": detail["remat_conv"],
+        "unit": "tiles/sec/chip (e2e train step, interleaved, "
+        "donate=False)",
+        "vs_baseline": round(
+            detail["remat_conv"] / max(detail["base"], 1e-9), 3
+        ),
+        "detail": detail,
+    }
+
+
 def bench_dcrnn(steps=10) -> Dict:
     """DCRNN fusion training throughput + 67-node module forecast latency
     (the second st-GNN, reference models/unet.py:16-27 interface)."""
@@ -1565,6 +1630,7 @@ _BENCHMARKS = {
     "dcrnn_stack": bench_dcrnn_stack,
     "layout_matrix": bench_layout_matrix,
     "pool_pallas": bench_pool_pallas,
+    "remat_conv": bench_remat_conv,
     "conv_layout": bench_conv_layout,
     "roofline": bench_roofline,
     "serving_roofline": bench_serving_roofline,

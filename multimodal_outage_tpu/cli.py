@@ -105,11 +105,14 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
         " batch 16+ on a single v5e chip",
     )
     p.add_argument(
-        "--remat_scope", choices=["all", "stem"], default="all",
+        "--remat_scope", choices=["all", "stem", "conv"], default="all",
         help="with --remat: 'stem' checkpoints only the top-two-"
         "resolution blocks (inc/down1/up3/up4) — cheaper than 'all' "
         "(−24%% vs −42%% throughput at b=8) while freeing the "
-        "activations that dominate HBM; 'all' checkpoints every block",
+        "activations that dominate HBM; 'all' checkpoints every block; "
+        "'conv' checkpoints every block but keeps conv/convT outputs "
+        "saved (save_only_these_names policy) so only the cheap "
+        "BN/ReLU/pool/concat tails recompute",
     )
     p.add_argument(
         "--grad_accum", type=_grad_accum_arg, default=1,

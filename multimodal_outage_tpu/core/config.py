@@ -130,7 +130,10 @@ class ModelConfig:
     # "all": every conv block; "stem": only the top-two-resolution blocks
     # (inc/down1/up3/up4), whose intra-block activations dominate HBM —
     # cheaper than all-block remat (−24% vs −42% at b=8) and the lever
-    # for batches that OOM without it (BENCHMARKS.md r3 layout matrix):
+    # for batches that OOM without it (BENCHMARKS.md r3 layout matrix);
+    # "conv": every block under the save_only_these_names("conv_out")
+    # policy — conv/convT outputs stay saved, only the BN/ReLU/pool/
+    # concat tails recompute (models/unet.py):
     remat_scope: str = "all"
     # 2×2 max-pool lowering: "reduce_window" (flax nn.max_pool; measured
     # FASTEST e2e despite its select-and-scatter backward) or "pairwise"
@@ -149,9 +152,9 @@ class ModelConfig:
         # argparse `choices` only guards the CLI; direct construction with
         # a typo'd scope would otherwise silently fall through the model's
         # string gates to stem-scope remat / reduce_window pooling
-        if self.remat_scope not in ("all", "stem"):
+        if self.remat_scope not in ("all", "stem", "conv"):
             raise ValueError(
-                f"remat_scope must be 'all' or 'stem', got "
+                f"remat_scope must be 'all', 'stem', or 'conv', got "
                 f"{self.remat_scope!r}"
             )
         if self.pool not in ("reduce_window", "pairwise", "pallas"):

@@ -13,6 +13,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 class GroupedBatchNorm(nn.Module):
@@ -133,7 +134,12 @@ class GroupedBatchNorm(nn.Module):
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 → BN → ReLU) × 2, no conv bias (reference models/unet.py:40-53)."""
+    """(Conv3x3 → BN → ReLU) × 2, no conv bias (reference models/unet.py:40-53).
+
+    Conv outputs carry a checkpoint_name("conv_out") tag — identity
+    outside remat; under remat_scope="conv" (models/unet.py) the
+    save_only_these_names policy keeps exactly these buffers and
+    recomputes the cheap BN-normalize/ReLU tail in the backward."""
 
     features: int
     num_group_axes: int = 2  # (batch, county) groups for BN stats
@@ -151,6 +157,7 @@ class DoubleConv(nn.Module):
                 dtype=self.dtype,
                 name=f"conv{i+1}",
             )(x)
+            x = checkpoint_name(x, "conv_out")
             x = GroupedBatchNorm(
                 num_group_axes=self.num_group_axes,
                 single_pass=self.bn_single_pass,
@@ -244,6 +251,7 @@ class Up(nn.Module):
             dtype=self.dtype,
             name="up",
         )(x)
+        x = checkpoint_name(x, "conv_out")
         # Static pad-to-match (shapes are static under jit; diff is 0 for
         # power-of-two image sizes, nonzero only for odd intermediate sizes).
         dh = skip.shape[-3] - x.shape[-3]

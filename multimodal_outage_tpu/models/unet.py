@@ -23,6 +23,14 @@ import jax.numpy as jnp
 from multimodal_outage_tpu.models.layers import DoubleConv, Down, Up, OutConv
 
 
+def _save_conv_outputs():
+    """Remat policy for remat_scope="conv": keep only the tagged conv/
+    convT outputs (layers.py checkpoint_name "conv_out") as residuals."""
+    import jax
+
+    return jax.checkpoint_policies.save_only_these_names("conv_out")
+
+
 class Contraction(nn.Module):
     """4-stage U-Net encoder → (bottleneck, skip pyramid).
 
@@ -39,7 +47,13 @@ class Contraction(nn.Module):
     recompute), leaving the deep blocks stored. The r2 grid measured
     all-block remat at −42% throughput because it recomputes the
     HBM-bandwidth-bound deep chains for little memory back
-    (BENCHMARKS.md)."""
+    (BENCHMARKS.md).
+
+    remat_scope="conv" wraps every block with the save_only_these_names
+    ("conv_out") policy: conv/convT outputs (the tagged majority of each
+    block's FLOPs) stay saved, and only the cheap BN-normalize/ReLU/pool/
+    concat tails are recomputed in the backward — a traffic-for-VPU-work
+    trade rather than "stem"/"all"'s traffic-for-conv-recompute trade."""
 
     base_channels: int = 4
     depth: int = 4
@@ -55,9 +69,13 @@ class Contraction(nn.Module):
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         def wrap(cls, block_level: int):
             # block_level: 0 = full resolution (inc), i+1 for down{i+1}
-            if self.remat and (
-                self.remat_scope == "all" or block_level <= 1
-            ):
+            if not self.remat:
+                return cls
+            if self.remat_scope == "conv":
+                return nn.remat(
+                    cls, static_argnums=(2,), policy=_save_conv_outputs()
+                )
+            if self.remat_scope == "all" or block_level <= 1:
                 # both DoubleConv and Down take train as positional arg 2
                 return nn.remat(cls, static_argnums=(2,))
             return cls
@@ -148,10 +166,16 @@ class Expansion(nn.Module):
             # saved concat activations at the top two resolutions are both
             # the HBM hogs and the source of the backward's largest
             # layout-conversion copies (HLO profile, BENCHMARKS.md r3).
-            wrap_it = self.remat and (
+            if self.remat and self.remat_scope == "conv":
+                U = nn.remat(
+                    Up, static_argnums=(3,), policy=_save_conv_outputs()
+                )
+            elif self.remat and (
                 self.remat_scope == "all" or i >= self.depth - 2
-            )
-            U = nn.remat(Up, static_argnums=(3,)) if wrap_it else Up
+            ):
+                U = nn.remat(Up, static_argnums=(3,))
+            else:
+                U = Up
             x = U(
                 ch, dtype=self.dtype, bn_single_pass=self.bn_single_pass,
                 name=f"up{i+1}",

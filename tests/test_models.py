@@ -394,12 +394,14 @@ def test_fusion_pool_toggle_matches():
 
 
 @pytest.mark.slow
-def test_stem_remat_matches_plain_forward_and_grad():
-    """remat_scope='stem' (inc/down1/up3/up4 only) is a memory/layout
-    lever only: identical param tree, outputs, gradients, batch stats."""
+@pytest.mark.parametrize("scope", ["stem", "conv"])
+def test_stem_remat_matches_plain_forward_and_grad(scope):
+    """remat_scope='stem' (inc/down1/up3/up4 only) and 'conv' (all
+    blocks, save-only-conv-outputs policy) are memory/layout levers
+    only: identical param tree, outputs, gradients, batch stats."""
     cfg0 = ModelConfig(compute_dtype="float32", remat=False)
     cfg1 = ModelConfig(
-        compute_dtype="float32", remat=True, remat_scope="stem"
+        compute_dtype="float32", remat=True, remat_scope=scope
     )
     m0 = build_model(cfg0, horizon=T)
     m1 = build_model(cfg1, horizon=T)
@@ -457,6 +459,7 @@ def test_model_config_rejects_invalid_remat_scope_and_pool():
         ModelConfig(pool="maxpool")
     # the valid values still construct
     ModelConfig(remat_scope="stem", pool="pairwise")
+    ModelConfig(remat_scope="conv", pool="pallas")
 
 
 def test_fusion_bf16_preserves_year_resolution():
