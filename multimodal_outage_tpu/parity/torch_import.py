@@ -432,13 +432,23 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     a 'state_dict' entry, or a bare state_dict .pth) → numpy dict.
 
     Tries weights_only=True first (no arbitrary-code-execution surface);
-    falls back to a full unpickle only for module pickles, which genuinely
-    need it — that path trusts the checkpoint file."""
+    falls back to a full unpickle ONLY on torch's weights-only POLICY
+    rejection (pickle.UnpicklingError whose message names an
+    "Unsupported global" — a valid pickle referencing module classes,
+    which genuinely needs the full loader; that path trusts the
+    checkpoint file). Anything else — I/O errors, corrupt archives
+    ("invalid load key"), torch version quirks — propagates instead of
+    silently re-opening the arbitrary-code-execution unpickle path
+    (advisor r4)."""
+    import pickle
+
     import torch
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError as e:
+        if "Unsupported global" not in str(e):
+            raise
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]

@@ -194,3 +194,41 @@ def test_convert_checkpoint_end_to_end(tmp_path):
     _leaves_equal(got_p, exp_p)
     _leaves_equal(restored["batch_stats"], variables["batch_stats"])
     assert int(np.asarray(restored["step"])) == 0
+
+
+def test_load_torch_checkpoint_fallback_is_narrow(tmp_path):
+    """Advisor r4: the weights_only=True → False fallback must fire ONLY
+    on torch's weights-only POLICY rejection (a valid pickle referencing
+    module globals). A corrupt file must propagate its error instead of
+    silently re-opening the arbitrary-code-execution unpickle path; a
+    plain tensor state_dict must load without the fallback at all."""
+    torch = pytest.importorskip("torch")
+    from multimodal_outage_tpu.parity.torch_import import (
+        _register_date2vec_shim,
+        load_torch_checkpoint,
+    )
+
+    # 1. plain state_dict: weights_only path succeeds
+    sd_file = tmp_path / "plain.pth"
+    torch.save({"state_dict": {"w": torch.ones(2, 3)}}, str(sd_file))
+    out = load_torch_checkpoint(str(sd_file))
+    assert out["w"].shape == (2, 3)
+
+    # 2. corrupt file: NOT a weights-only policy rejection — must raise,
+    # never fall back to the full unpickler
+    bad = tmp_path / "corrupt.pth"
+    bad.write_bytes(b"this is not a torch checkpoint")
+    with pytest.raises(Exception) as ei:
+        load_torch_checkpoint(str(bad))
+    assert "Unsupported global" not in str(ei.value)
+
+    # 3. module pickle (the reference's d2v .pth shape, utils.py:108-109):
+    # weights_only rejects the class global, the fallback loads it
+    import sys
+
+    _register_date2vec_shim()
+    d2v = sys.modules["date2vec"].Date2Vec(k=64)
+    mod_file = tmp_path / "module.pth"
+    torch.save(d2v, str(mod_file))
+    out = load_torch_checkpoint(str(mod_file))
+    assert any("fc1" in k for k in out)
