@@ -218,7 +218,15 @@ def _pool2d_bwd(x2, g2, wc: int, c: int, interpret: bool):
 
 def supports_shape(x) -> bool:
     """Kernel preconditions: even H/W and an exact lane count (W·C a
-    multiple of 128 — contraction over padded lanes would read garbage)."""
+    multiple of 128 — contraction over padded lanes would read garbage).
+
+    Numerical precondition (NOT checkable from the shape): activations
+    must be FINITE. The 0/1 selection matmuls contract sel·x over all
+    W·C lanes, so a single ±inf anywhere in a scanline contributes
+    0·inf = NaN to EVERY pooled output of that row — unlike
+    reduce_window, which propagates inf per-window. Only pathological
+    (overflowed) activations trigger this; the train path's BN keeps
+    values finite, and --debug_nans catches the blow-up either way."""
     h, w, cc = x.shape[-3], x.shape[-2], x.shape[-1]
     return h % 2 == 0 and w % 2 == 0 and (w * cc) % 128 == 0
 

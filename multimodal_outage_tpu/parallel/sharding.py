@@ -102,9 +102,31 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]
     return {k: NamedSharding(mesh, _batch_pspec(k)) for k in batch}
 
 
+def global_put(x, sharding: NamedSharding):
+    """device_put that also works multi-host.
+
+    Single-process (and for leaves that are already global jax.Arrays,
+    e.g. jit-init outputs) this is jax.device_put. For HOST-resident
+    leaves under process_count > 1 — a checkpoint restored identically
+    on every host, a replicated supports tensor — device_put would need
+    a cross-host transfer (unsupported without DCN transport flags);
+    instead each process contributes its addressable shards of the
+    global array from its own full host copy via
+    jax.make_array_from_callback (the same assembly the multi-host
+    DevicePipeline uses for the frame store)."""
+    if jax.process_count() > 1 and getattr(x, "is_fully_addressable", True):
+        arr = np.asarray(x)
+        # NB: plain asarray — ascontiguousarray would promote 0-d leaves
+        # (e.g. the step counter) to shape (1,)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: np.asarray(arr[idx])
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
     shardings = state_shardings(mesh, state)
-    return jax.tree.map(jax.device_put, state, shardings)
+    return jax.tree.map(global_put, state, shardings)
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:

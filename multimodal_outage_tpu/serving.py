@@ -135,16 +135,22 @@ class ServingModel:
         # host numpy arrays, which would otherwise re-transfer per call.
         # With a mesh they land directly under the TP/replicated layouts.
         if mesh is not None:
-            from multimodal_outage_tpu.parallel.sharding import tree_shardings
+            # global_put: multi-host serving restores the checkpoint on
+            # every host, so each process contributes its addressable
+            # shards (device_put cannot reshard across hosts)
+            from multimodal_outage_tpu.parallel.sharding import (
+                global_put,
+                tree_shardings,
+            )
 
             self.params = _jax.tree.map(
-                _jax.device_put,
+                global_put,
                 variables["params"],
                 tree_shardings(mesh, variables["params"]),
             )
             bs = variables.get("batch_stats", {})
             self.batch_stats = _jax.tree.map(
-                _jax.device_put, bs, tree_shardings(mesh, bs)
+                global_put, bs, tree_shardings(mesh, bs)
             )
         else:
             self.params = _jax.device_put(variables["params"])
@@ -156,7 +162,9 @@ class ServingModel:
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self.supports = _jax.device_put(supports, NamedSharding(mesh, P()))
+            from multimodal_outage_tpu.parallel.sharding import global_put
+
+            self.supports = global_put(supports, NamedSharding(mesh, P()))
         else:
             self.supports = _jax.device_put(supports)
         self.use_pallas = use_pallas

@@ -361,6 +361,47 @@ def _sample_batch(
     )
 
 
+def _host_fetch(x) -> np.ndarray:
+    """Fetch a (possibly non-fully-addressable) device array to host.
+
+    Multi-host mesh sweeps emit globally sharded outputs whose shards
+    live on other processes' devices — np.asarray on those raises.
+    process_allgather(tiled=True) replicates the GLOBAL value onto every
+    process (an ICI/DCN all-gather, one collective instead of a
+    per-shard host pull), so predict/serve_eval return identical
+    full-resolution arrays on all hosts — the multi-host analogue of the
+    reference's single-GPU prediction collection (tlit.py:60-77)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _fetch_metric_floats(metrics, cfg: Config) -> Dict[str, float]:
+    """Host-fetch a dict of device metric scalars.
+
+    Dispatch is async: once an auto grad-accum (batch, split) shape has
+    settled, the per-step scoping fetch inside the retrying train_step
+    stops, so a LATE runtime OOM (allocator drift, fragmentation)
+    surfaces here at the epoch loop's metric read — after the train
+    state was already donated, where retrying is impossible. This
+    backstop keeps the actionable guidance instead of letting a raw
+    XlaRuntimeError escape (advisor r4)."""
+    try:
+        return {k: float(v) for k, v in metrics.items()}
+    except Exception as e:
+        if is_oom_error(e):
+            raise RuntimeError(
+                "a training step OOM'd after its shape had settled; the "
+                "donated train state is already consumed, so it cannot be "
+                "retried in-process. Restart with a larger --grad_accum or "
+                "a smaller --batch_size (current: batch_size="
+                f"{cfg.train.batch_size}, grad_accum={cfg.train.grad_accum})"
+            ) from e
+        raise
+
+
 def fit(
     cfg: Config,
     test_case: str = "michael",
@@ -410,18 +451,7 @@ def fit(
     # communication" upgrade mandate) — not just the benchmarks.
     mesh = mesh_from_config(cfg.mesh)
     if mesh is not None:
-        dp = mesh.shape[DATA_AXIS]
-        sp = mesh.shape.get("time", 1)
-        if cfg.train.batch_size % dp != 0:
-            raise ValueError(
-                f"batch_size {cfg.train.batch_size} not divisible by "
-                f"mesh data axis {dp}"
-            )
-        if cfg.data.horizon % sp != 0:
-            raise ValueError(
-                f"horizon {cfg.data.horizon} not divisible by mesh time "
-                f"axis {sp}"
-            )
+        _validate_mesh_cfg(cfg, mesh)
         if cfg.train.grad_accum != 1:
             raise ValueError(
                 "grad_accum (including auto) is a single-device-path "
@@ -465,13 +495,14 @@ def fit(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from multimodal_outage_tpu.parallel.sharding import (
+            global_put,
             make_sharded_eval_step,
             make_sharded_train_step,
             shard_state,
         )
 
         state = shard_state(mesh, state)
-        supports = jax.device_put(supports, NamedSharding(mesh, P()))
+        supports = global_put(supports, NamedSharding(mesh, P()))
         train_step = make_sharded_train_step(
             model, mesh, state, donate=cfg.train.donate_buffers, weighted=True,
             compiler_options=_compile_opts(cfg),
@@ -632,7 +663,7 @@ def fit(
                 profiling = False
                 profile_stop = None
             if step_count % cfg.train.log_every == 0:
-                host_metrics = {k: float(v) for k, v in step_metrics.items()}
+                host_metrics = _fetch_metric_floats(step_metrics, cfg)
                 logger.log(
                     {
                         "phase": "train",
@@ -650,7 +681,10 @@ def fit(
             )
             metric_count += 1
         train_metrics = (
-            {k: float(v) / metric_count for k, v in metric_sum.items()}
+            {
+                k: v / metric_count
+                for k, v in _fetch_metric_floats(metric_sum, cfg).items()
+            }
             if metric_count
             else {}
         )
@@ -831,7 +865,7 @@ def serve_eval(
         if collect_preds:
             # full-resolution D2H pull — only when the caller wants the
             # rasters; it dwarfs the forward at slow host links
-            preds.append(np.asarray(yhat))
+            preds.append(_host_fetch(yhat))
     ckpt.close()
     latency: Dict[str, float] = {}
     if latency_stats and lat_batches:
@@ -923,6 +957,7 @@ def predict(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from multimodal_outage_tpu.parallel.sharding import (
+            global_put,
             make_sharded_eval_step,
             make_sharded_predict_step,
             shard_state,
@@ -938,7 +973,7 @@ def predict(
             ),
         )
         restored = {"params": state.params, "batch_stats": state.batch_stats}
-        supports = jax.device_put(supports, NamedSharding(mesh, P()))
+        supports = global_put(supports, NamedSharding(mesh, P()))
         predict_step = make_sharded_predict_step(model, mesh, state)
         eval_step = make_sharded_eval_step(model, mesh, state)
     else:
@@ -959,8 +994,8 @@ def predict(
         agg.update(
             eval_step(restored["params"], restored["batch_stats"], batch, supports)
         )
-        preds.append(np.asarray(yhat))
-        targets.append(np.asarray(batch["y"]))
+        preds.append(_host_fetch(yhat))
+        targets.append(_host_fetch(batch["y"]))
     ckpt.close()
     # mesh mode pads the tail batch (cycled rows, weight-masked) — trim
     # the physical pad rows back off the returned arrays
@@ -971,12 +1006,8 @@ def predict(
     )
 
 
-def _inference_mesh(cfg: Config):
-    """Resolve cfg.mesh for predict/serve_eval, validating divisibility
-    the same way fit does."""
-    mesh = mesh_from_config(cfg.mesh)
-    if mesh is None:
-        return None
+def _validate_mesh_cfg(cfg: Config, mesh) -> None:
+    """Shared fit/predict/serve_eval mesh-vs-config validation."""
     dp = mesh.shape[DATA_AXIS]
     sp = mesh.shape.get("time", 1)
     if cfg.train.batch_size % dp != 0:
@@ -988,4 +1019,21 @@ def _inference_mesh(cfg: Config):
         raise ValueError(
             f"horizon {cfg.data.horizon} not divisible by mesh time axis {sp}"
         )
+    if cfg.model.pool == "pallas" and mesh.devices.size > 1:
+        # pallas_call has no GSPMD partitioning rule: a sharded step would
+        # fail to compile or silently force replication (ServingModel(mesh=)
+        # rejects its Pallas paths for the same reason, serving.py)
+        raise ValueError(
+            "pool='pallas' cannot run under a multi-device mesh (no GSPMD "
+            "partitioning rule for pallas_call); use pool='reduce_window'"
+        )
+
+
+def _inference_mesh(cfg: Config):
+    """Resolve cfg.mesh for predict/serve_eval, validating divisibility
+    (and the Pallas-pool SPMD exclusion) the same way fit does."""
+    mesh = mesh_from_config(cfg.mesh)
+    if mesh is None:
+        return None
+    _validate_mesh_cfg(cfg, mesh)
     return mesh

@@ -22,13 +22,30 @@ HBM-resident store is assembled as a GLOBAL array (date dim sharded over
 the data axis; each process contributes its addressable shards via
 jax.make_array_from_callback) and every batch is a jitted device gather —
 the round-4 multi-host HBM-resident feeding path.
+
+Inference mode (round-5 mandate — predict/serve_eval under
+process_count > 1, never executed before):
+
+    python multihost_worker.py <proc> <nproc> <port> infer \
+        <predict|serve> <store_dir> <ckpt_dir> <out_dir>
+
+runs train.loop.predict (device pipeline + shard_store: the
+make_array_from_callback weight-row branch, loop.py _mesh_epoch_iter) or
+train.loop.serve_eval (host pipeline: the local_batch_slice branch)
+over the held-out case on the dp=2 mesh, saves preds to
+<out_dir>/preds_<proc>.npy, and prints the metrics as JSON.
 """
 
 import json
 import sys
 
 proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-store_dir = sys.argv[4] if len(sys.argv) > 4 else None
+infer_args = None
+store_dir = None
+if len(sys.argv) > 4 and sys.argv[4] == "infer":
+    infer_args = sys.argv[5:9]  # (mode, store_dir, ckpt_dir, out_dir)
+elif len(sys.argv) > 4:
+    store_dir = sys.argv[4]
 
 import jax
 
@@ -116,8 +133,56 @@ def device_pipeline_losses(mesh, model, supports, rng):
     return losses
 
 
+def run_inference(mode: str, data_dir: str, ckpt_dir: str, out_dir: str):
+    """predict / serve_eval over the held-out case on the dp=2 mesh —
+    the multi-host inference/serving path (train.loop._mesh_epoch_iter
+    branches at process_count > 1, plus the process_allgather prediction
+    collection in _host_fetch)."""
+    import dataclasses
+    import os
+
+    import numpy as np
+
+    from multimodal_outage_tpu.core.config import (
+        MeshConfig,
+        small_test_config,
+    )
+    from multimodal_outage_tpu.train.loop import predict, serve_eval
+
+    cfg = small_test_config(
+        n_counties=4, image_size=16, horizon=2, batch_size=4
+    )
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            data_dir=data_dir,
+            dataset_range=12,
+            horizon=2,
+            # predict: device pipeline, store sharded over data (the
+            # make_array_from_callback assembly + callback weight row);
+            # serve: host pipeline (the local_batch_slice feeding branch)
+            pipeline="device" if mode == "predict" else "host",
+            shard_store=(mode == "predict"),
+        ),
+        mesh=MeshConfig(data=2),
+    )
+    if mode == "predict":
+        preds, targets, metrics = predict(cfg, ckpt_dir, test_case="michael")
+        np.save(os.path.join(out_dir, f"targets_{proc_id}.npy"), targets)
+    else:
+        preds, metrics, _ = serve_eval(
+            cfg, ckpt_dir, test_case="michael", collect_preds=True
+        )
+    np.save(os.path.join(out_dir, f"preds_{proc_id}.npy"), preds)
+    print("RESULT " + json.dumps({"proc": proc_id, "metrics": metrics}),
+          flush=True)
+
+
 def main() -> None:
     assert jax.device_count() == 2, jax.devices()
+    if infer_args is not None:
+        run_inference(*infer_args)
+        return
     mesh = make_mesh(data=2)
     model_cfg = ModelConfig(compute_dtype="float32")
     model = build_model(model_cfg, horizon=2)

@@ -180,3 +180,88 @@ def test_sharded_store_pipeline_matches_replicated(tiny_store):
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), atol=1e-6
         )
+
+
+def test_pallas_pool_rejected_on_multidevice_mesh(tiny_cfg):
+    """pallas_call has no GSPMD partitioning rule — selecting
+    pool='pallas' together with a >1-device mesh must fail fast with an
+    actionable error on every entry path (fit shares the same validator
+    via _validate_mesh_cfg), not die in the sharded compile or silently
+    force replication (advisor r4)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from multimodal_outage_tpu.core.config import MeshConfig
+    from multimodal_outage_tpu.train.loop import _inference_mesh
+
+    cfg = tiny_cfg.replace(
+        model=dataclasses.replace(tiny_cfg.model, pool="pallas"),
+        mesh=MeshConfig(data=2),
+    )
+    with _pytest.raises(ValueError, match="pallas"):
+        _inference_mesh(cfg)
+    # single device: the Pallas pool stays selectable (no mesh resolved)
+    assert _inference_mesh(cfg.replace(mesh=MeshConfig(data=1))) is None
+
+
+class _RecordingFrames:
+    """Memmap stand-in that records every date-row slice read off it."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr, np.float32)
+        self.reads = []
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def dtype(self):
+        return self._arr.dtype
+
+    def __getitem__(self, idx):
+        self.reads.append(idx)
+        return self._arr[idx]
+
+
+def test_shard_store_assembly_reads_only_shard_rows(tiny_store):
+    """VERDICT r4 #2: the sharded-store global-array assembly must slice
+    the store memmap per addressable shard — never materialize the full
+    f32 store in host RAM. Each callback read is bounded by one shard's
+    date rows; together the (single-process) shards cover the store
+    exactly once, and the assembled array matches the unwrapped path."""
+    import dataclasses
+
+    from multimodal_outage_tpu.data.pipeline import DevicePipeline
+
+    dp = 8
+    mesh = make_mesh(data=dp)
+    rec = _RecordingFrames(tiny_store.frames)
+    store = dataclasses.replace(tiny_store, frames=rec)
+    kw = dict(
+        mean=2.0, std=3.0, image_size=tiny_store.image_size,
+        dtype=jnp.float32,
+    )
+    pipe = DevicePipeline(store, mesh=mesh, shard_store=True, **kw)
+
+    d = tiny_store.frames.shape[0]
+    shard_rows = (d + (-d) % dp) // dp
+    assert rec.reads, "expected the assembly callback to read the memmap"
+    covered = []
+    for idx in rec.reads:
+        sl = idx if isinstance(idx, slice) else idx[0]
+        start, stop, step = sl.indices(d)
+        assert step == 1
+        assert stop - start <= shard_rows, (
+            f"callback read rows [{start}:{stop}] — more than one shard "
+            f"({shard_rows} rows); the full store must never materialize"
+        )
+        covered.extend(range(start, stop))
+    # all shards are addressable single-process: exact disjoint cover
+    assert sorted(covered) == list(range(d))
+
+    plain = DevicePipeline(tiny_store, mesh=mesh, shard_store=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(pipe.frames), np.asarray(plain.frames)
+    )
