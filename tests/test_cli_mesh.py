@@ -1,0 +1,91 @@
+"""CLI-driven SPMD chain (round-5 mandate): a >1 mesh through cli.main.
+
+The dress rehearsal pins the operational chain at --mesh_data 1; SPMD
+evaluate/serve equality is pinned at the Python API level
+(test_serve_spmd.py). This test closes the remaining seam — the
+argparse→MeshConfig plumbing for train AND evaluate AND serve at
+dp2×tp2×sp2 on the virtual 8-device CPU backend, asserting metric
+equality with the single-device CLI chain (the operational story of
+reference lit.py:208-224 + tlit.py:96-132 at this framework's claimed
+multi-chip scale).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_outage_tpu.cli import main
+
+N, SIZE, HORIZON, RANGE = 4, 16, 2, 12
+
+_MESH8 = ("--mesh_data", "2", "--mesh_model", "2", "--mesh_time", "2")
+_MESH1 = ("--mesh_data", "1")
+
+
+def _flags(store, extra=()):
+    return [
+        "--data_dir", store, "--n_counties", str(N), "--image_size",
+        str(SIZE), "--horizon", str(HORIZON), "--dataset_range", str(RANGE),
+        "--batch_size", "4", "--compute_dtype", "float32", *extra,
+    ]
+
+
+def _chain(store, tmp_path, capsys, job_id, mesh_flags):
+    """train → evaluate → serve through cli.main; returns
+    (train_results, eval_metrics, serve_metrics)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(
+            ["train", "--case", "michael", "--epochs", "1", "--job_id",
+             job_id, *_flags(store, mesh_flags)]
+        ) == 0
+        train_out = capsys.readouterr().out
+        results = json.loads(train_out.strip().splitlines()[-1])
+        ckpt = os.path.join("logs", job_id, "checkpoints")
+        assert os.listdir(ckpt)
+
+        mj = f"{job_id}_m.json"
+        assert main(
+            ["evaluate", "--checkpoint_path", ckpt, "--case", "michael",
+             "--metrics_json", mj, *_flags(store, mesh_flags)]
+        ) == 0
+        capsys.readouterr()
+        eval_metrics = json.load(open(mj))
+
+        assert main(
+            ["serve", "--checkpoint_path", ckpt, "--case", "michael",
+             *_flags(store, mesh_flags)]
+        ) == 0
+        serve_out = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        return results, eval_metrics, serve_out["metrics"]
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_cli_chain_mesh_2x2x2_matches_single_device(
+    tiny_store_dir, tmp_path, capsys
+):
+    r8, e8, s8 = _chain(tiny_store_dir, tmp_path, capsys, "cm8", _MESH8)
+    r1, e1, s1 = _chain(tiny_store_dir, tmp_path, capsys, "cm1", _MESH1)
+
+    # within each chain: evaluate reproduces train's end-of-fit test sweep
+    # (checkpoint round trip), serve agrees with evaluate
+    np.testing.assert_allclose(e8["loss"], r8["test_loss"], rtol=1e-5)
+    np.testing.assert_allclose(e1["loss"], r1["test_loss"], rtol=1e-5)
+    for k in ("loss", "mae", "rmse"):
+        np.testing.assert_allclose(s8[k], e8[k], rtol=1e-3)
+        np.testing.assert_allclose(s1[k], e1[k], rtol=1e-3)
+
+    # across chains: SPMD is a layout change, not a numerics change. The
+    # rtol matches test_fit_spmd.py's measured bound — serial-EMA
+    # BatchNorm amplifies layout-induced f32 reduction-order noise ~G×
+    # into eval metrics (~0.24% observed); a plumbing bug (flags dropped,
+    # wrong mesh, missed psum) shows up as tens of percent.
+    for k in ("loss", "mae", "rmse"):
+        np.testing.assert_allclose(e8[k], e1[k], rtol=8e-3)
