@@ -299,6 +299,11 @@ def main(argv=None) -> int:
     p_synth.add_argument("--image_size", type=int, default=128)
     p_synth.add_argument("--margin", type=int, default=45)
     p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument(
+        "--pixel_noise", type=float, default=0.0,
+        help="stddev of extra per-pixel multiplicative noise (0 = the "
+        "spatially smooth default; >0 for curriculum/robustness studies)",
+    )
 
     p_serve = sub.add_parser(
         "serve", help="Load a checkpoint into the optimized serving engine"
@@ -384,6 +389,7 @@ def main(argv=None) -> int:
             image_size=args.image_size,
             margin=args.margin,
             seed=args.seed,
+            pixel_noise=args.pixel_noise,
         )
         print(
             f"wrote {args.out_dir}: frames {frames.shape}, "

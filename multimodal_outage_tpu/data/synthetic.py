@@ -63,8 +63,15 @@ def generate_frames(
     seed: int = 42,
     hurricanes: Dict[str, datetime.date] | None = None,
     sentinel_fraction: float = 1e-3,
+    pixel_noise: float = 0.0,
 ) -> np.ndarray:
-    """[D, N, H, W] synthetic radiance with outage dips after hurricanes."""
+    """[D, N, H, W] synthetic radiance with outage dips after hurricanes.
+
+    pixel_noise: stddev of additional PER-PIXEL multiplicative noise
+    (the default per-(date,county) scalar noise keeps frames spatially
+    smooth — too easy for curriculum studies like scheduled sampling,
+    where the decoder's own predictions barely differ from encoded
+    ground truth; see BENCHMARKS.md teacher-forcing A/B)."""
     hurricanes = hurricanes or HURRICANES
     rng = np.random.default_rng(seed)
     d = dates.shape[0]
@@ -87,6 +94,12 @@ def generate_frames(
         np.float32
     )
     frames = base[None] * impact[:, :, None, None] * noise
+    if pixel_noise > 0.0:
+        frames = frames * (
+            1.0
+            + pixel_noise
+            * rng.standard_normal(frames.shape).astype(np.float32)
+        )
     frames = np.maximum(frames, 0.0)
 
     if sentinel_fraction > 0:
@@ -145,11 +158,13 @@ def generate_store(
     margin: int = 45,
     seed: int = 42,
     hurricanes: Dict[str, datetime.date] | None = None,
+    pixel_noise: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Generate and save a packed synthetic store; returns (frames, dates)."""
     dates = synthetic_dates(hurricanes, margin)
     frames = generate_frames(
-        dates, n_counties, image_size, seed, hurricanes=hurricanes
+        dates, n_counties, image_size, seed, hurricanes=hurricanes,
+        pixel_noise=pixel_noise,
     )
     monthly, monthly_months = generate_monthly_composites(
         frames, dates, seed, hurricanes
