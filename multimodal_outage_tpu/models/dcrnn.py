@@ -191,7 +191,10 @@ class DCRNN(nn.Module):
         train: bool,
         targets: Optional[jnp.ndarray] = None,
         tf_prob: Optional[jnp.ndarray] = None,
+        sample_weight: Optional[jnp.ndarray] = None,  # no BN — unused,
+        # accepted for st-GNN interface uniformity (fusion passes it)
     ) -> jnp.ndarray:
+        del sample_weight
         if supports is None:
             # fail at the model boundary, not as an AttributeError deep
             # inside the scan trace — DCRNN has no graph-free mode (the

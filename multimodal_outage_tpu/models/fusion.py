@@ -88,6 +88,9 @@ class ModifiedUNet(nn.Module):
         train: bool = False,
         targets: Optional[jnp.ndarray] = None,  # [B, N, T, H, W, C] future
         tf_prob: Optional[jnp.ndarray] = None,  # traced sampling prob
+        sample_weight: Optional[jnp.ndarray] = None,  # [B] 1=valid 0=pad;
+        # mesh-mode padded tail batches pass the batch's 'w' row so BN
+        # running-stat EMAs skip the pad rows (layers.GroupedBatchNorm)
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -112,7 +115,7 @@ class ModifiedUNet(nn.Module):
             dtype=dtype,
             name="encoder",
         )
-        bottleneck, skips = contraction(x, train)
+        bottleneck, skips = contraction(x, train, sample_weight)
         z = encoder(bottleneck, train)
 
         # DCRNN scheduled sampling (canonical design, Li et al. 2018;
@@ -158,10 +161,11 @@ class ModifiedUNet(nn.Module):
         st_gnn = get_st_gnn(cfg.st_gnn)(cfg, self.horizon, dtype)
         if latent_targets is not None:
             z = st_gnn(
-                z, supports, train, targets=latent_targets, tf_prob=tf_prob
+                z, supports, train, targets=latent_targets, tf_prob=tf_prob,
+                sample_weight=sample_weight,
             )
         else:
-            z = st_gnn(z, supports, train)
+            z = st_gnn(z, supports, train, sample_weight=sample_weight)
 
         d = BottleneckDecoder(
             grid_size=grid,
@@ -181,7 +185,7 @@ class ModifiedUNet(nn.Module):
             bn_single_pass=cfg.bn_single_pass,
             dtype=dtype,
             name="expansion",
-        )(d, skips, train)
+        )(d, skips, train, sample_weight)
         return y.astype(jnp.float32)
 
 

@@ -186,6 +186,7 @@ class GraphWaveNet(nn.Module):
         x: jnp.ndarray,
         supports: Optional[jnp.ndarray],
         train: bool,
+        sample_weight: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, n, t, c_in = x.shape
         if self.reference_view_quirk:
@@ -292,7 +293,7 @@ class GraphWaveNet(nn.Module):
                 num_group_axes=1,
                 single_pass=self.bn_single_pass,
                 name=f"bn{i}",
-            )(x, train)
+            )(x, train, sample_weight)
 
         out = nn.relu(skip)
         out = nn.relu(

@@ -38,13 +38,18 @@ class GroupedBatchNorm(nn.Module):
     the reference semantics weight late-alphabet counties exponentially
     more; serial_ema=False gives the uniform group-mean EMA instead.
 
-    Known deviation: mesh-mode tail batches are padded to the compiled
+    Pad-masked updates: mesh-mode tail batches are padded to the compiled
     batch size by cycling valid samples (train/loop.py:_mesh_epoch_iter).
-    Loss/metrics mask the pad rows exactly, but the running-stat EMA has
-    no per-sample weighting, so those duplicated rows participate — the
-    tail-batch running-stat trajectory deviates slightly from the
-    reference's ragged final batch. Single-device (non-mesh) training
-    feeds ragged tails and matches exactly.
+    Loss/metrics mask the pad rows via the batch's 'w' row, and passing
+    that row here as `sample_weight` masks the running-stat EMA too: a
+    group whose weight is 0 contributes nothing and the decay shrinks to
+    (1−m)^(number of VALID groups) — exactly the update the reference
+    computes on the ragged final batch. The closed form generalizes: with
+    validity v_k ∈ {0,1}, w_k = v_k·m·(1−m)^(Σ_{j>k} v_j) and
+    decay = (1−m)^(Σ v) — the reversed-cumsum count replaces the arange,
+    so masked groups are skipped in-order, whatever their positions.
+    sample_weight=None (single-device ragged batches) keeps the static
+    arange path.
     """
 
     num_group_axes: int
@@ -64,7 +69,12 @@ class GroupedBatchNorm(nn.Module):
     # BENCHMARKS.md lever (c)) and the output is cast back to x.dtype.
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool,
+        sample_weight: Any = None,
+    ) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -105,21 +115,52 @@ class GroupedBatchNorm(nn.Module):
                 unbiased = var * (m / max(m - 1, 1))
                 group_axes = tuple(range(self.num_group_axes))
                 mom = self.momentum
+                g = math.prod(x.shape[a] for a in group_axes)
+                v = None
+                if sample_weight is not None:
+                    # validity per group: broadcast the per-sample row over
+                    # the group axes (e.g. (B,) → (B, N)), flatten C-order
+                    # to match the serial group order
+                    gshape = tuple(x.shape[a] for a in group_axes)
+                    v = jnp.broadcast_to(
+                        jnp.asarray(sample_weight, jnp.float32).reshape(
+                            sample_weight.shape
+                            + (1,) * (len(gshape) - sample_weight.ndim)
+                        ),
+                        gshape,
+                    ).reshape(g)
                 if self.serial_ema:
-                    g = math.prod(x.shape[a] for a in group_axes)
                     s_mean = mean.reshape(g, c)
                     s_var = unbiased.reshape(g, c)
-                    # w_k = m·(1−m)^(G−1−k); decay·r + w @ s == the serial
-                    # per-group torch update applied G times in order
-                    w = mom * (1 - mom) ** jnp.arange(
-                        g - 1, -1, -1, dtype=jnp.float32
-                    )
-                    decay = (1 - mom) ** g
+                    if v is None:
+                        # w_k = m·(1−m)^(G−1−k); decay·r + w @ s == the
+                        # serial per-group torch update applied G times
+                        # in order
+                        w = mom * (1 - mom) ** jnp.arange(
+                            g - 1, -1, -1, dtype=jnp.float32
+                        )
+                        decay = (1 - mom) ** g
+                    else:
+                        # masked serial update: skip invalid groups
+                        # in-order — count of valid groups AFTER k
+                        # replaces the arange (docstring closed form)
+                        cnt_after = jnp.cumsum(v[::-1])[::-1] - v
+                        w = v * mom * (1 - mom) ** cnt_after
+                        decay = (1 - mom) ** jnp.sum(v)
                     ra_mean.value = decay * ra_mean.value + w @ s_mean
                     ra_var.value = decay * ra_var.value + w @ s_var
                 else:
-                    batch_mean = jnp.mean(mean, axis=group_axes).reshape(c)
-                    batch_var = jnp.mean(unbiased, axis=group_axes).reshape(c)
+                    if v is None:
+                        batch_mean = jnp.mean(mean, axis=group_axes)
+                        batch_var = jnp.mean(unbiased, axis=group_axes)
+                    else:
+                        denom = jnp.maximum(jnp.sum(v), 1.0)
+                        batch_mean = (
+                            v @ mean.reshape(g, c)
+                        ) / denom
+                        batch_var = (v @ unbiased.reshape(g, c)) / denom
+                    batch_mean = batch_mean.reshape(c)
+                    batch_var = batch_var.reshape(c)
                     ra_mean.value = (
                         (1 - mom) * ra_mean.value + mom * batch_mean
                     )
@@ -147,7 +188,9 @@ class DoubleConv(nn.Module):
     bn_single_pass: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, sample_weight: Any = None
+    ) -> jnp.ndarray:
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -162,7 +205,7 @@ class DoubleConv(nn.Module):
                 num_group_axes=self.num_group_axes,
                 single_pass=self.bn_single_pass,
                 name=f"bn{i+1}",
-            )(x, train)
+            )(x, train, sample_weight)
             x = nn.relu(x)
         return x
 
@@ -221,11 +264,13 @@ class Down(nn.Module):
     pool: str = "reduce_window"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, sample_weight: Any = None
+    ) -> jnp.ndarray:
         return DoubleConv(
             self.features, self.num_group_axes, self.dtype,
             bn_single_pass=self.bn_single_pass, name="conv",
-        )(max_pool_2x2(x, self.pool), train)
+        )(max_pool_2x2(x, self.pool), train, sample_weight)
 
 
 class Up(nn.Module):
@@ -240,7 +285,11 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, skip: jnp.ndarray, train: bool
+        self,
+        x: jnp.ndarray,
+        skip: jnp.ndarray,
+        train: bool,
+        sample_weight: Any = None,
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.ConvTranspose(
@@ -267,7 +316,7 @@ class Up(nn.Module):
         return DoubleConv(
             self.features, self.num_group_axes, self.dtype,
             bn_single_pass=self.bn_single_pass, name="conv",
-        )(x, train)
+        )(x, train, sample_weight)
 
 
 class OutConv(nn.Module):

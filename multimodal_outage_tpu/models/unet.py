@@ -65,7 +65,7 @@ class Contraction(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool
+        self, x: jnp.ndarray, train: bool, sample_weight=None
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         def wrap(cls, block_level: int):
             # block_level: 0 = full resolution (inc), i+1 for down{i+1}
@@ -77,6 +77,7 @@ class Contraction(nn.Module):
                 )
             if self.remat_scope == "all" or block_level <= 1:
                 # both DoubleConv and Down take train as positional arg 2
+                # (sample_weight at 3 is traced data, not static)
                 return nn.remat(cls, static_argnums=(2,))
             return cls
 
@@ -84,14 +85,14 @@ class Contraction(nn.Module):
         ch = self.base_channels
         x = wrap(DoubleConv, 0)(
             ch, dtype=self.dtype, bn_single_pass=sp, name="inc"
-        )(x, train)
+        )(x, train, sample_weight)
         skips = [x]
         for i in range(self.depth):
             ch *= 2
             x = wrap(Down, i + 1)(
                 ch, dtype=self.dtype, bn_single_pass=sp, pool=self.pool,
                 name=f"down{i+1}",
-            )(x, train)
+            )(x, train, sample_weight)
             if i < self.depth - 1:
                 skips.append(x)
         return x, tuple(skips)
@@ -157,7 +158,11 @@ class Expansion(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, skips: Tuple[jnp.ndarray, ...], train: bool
+        self,
+        x: jnp.ndarray,
+        skips: Tuple[jnp.ndarray, ...],
+        train: bool,
+        sample_weight=None,
     ) -> jnp.ndarray:
         ch = self.base_channels * (2 ** (self.depth - 1))  # 32 at depth 4
         for i in range(self.depth):
@@ -179,6 +184,6 @@ class Expansion(nn.Module):
             x = U(
                 ch, dtype=self.dtype, bn_single_pass=self.bn_single_pass,
                 name=f"up{i+1}",
-            )(x, skips[-(i + 1)], train)
+            )(x, skips[-(i + 1)], train, sample_weight)
             ch //= 2
         return OutConv(self.output_channels, dtype=self.dtype, name="outc")(x)

@@ -185,7 +185,9 @@ def pad_batch(
     Pad rows CYCLE the valid samples (np.resize semantics) rather than
     zero-fill, so any train-mode batch statistics computed over pad rows
     stay in-distribution; the weights zero the pad rows out of loss,
-    gradients, and metrics (see core.metrics.weighted_regression_metrics).
+    gradients, metrics (see core.metrics.weighted_regression_metrics),
+    AND the BatchNorm running-stat EMAs (the sharded train step forwards
+    'w' as the model's sample_weight — GroupedBatchNorm masked update).
     Keeps every SPMD step one compiled shape regardless of dataset size."""
     b = next(iter(batch.values())).shape[0]
     w = np.zeros((batch_size,), np.float32)
@@ -298,6 +300,10 @@ def make_sharded_train_step(
                 train=True,
                 rngs={"dropout": dropout_rng, **tf_rngs},
                 mutable=["batch_stats"],
+                # pad-mask the BN running-stat EMAs too (GroupedBatchNorm
+                # masked serial update) so padded tail batches update
+                # running stats exactly as the reference's ragged batch
+                sample_weight=batch["w"] if weighted else None,
                 **tf_kwargs,
             )
             if weighted:

@@ -260,9 +260,11 @@ def _mesh_epoch_iter(
     rows (parallel.sharding.pad_batch semantics), and lands on the mesh
     sharded B-over-data / T-over-time.
 
-    Loss/metrics are exactly masked; train-mode BatchNorm running stats
-    are not (the duplicated pad rows contribute to the EMA — see the
-    GroupedBatchNorm docstring for the documented tail-batch deviation).
+    Loss/metrics are exactly masked, and so are the train-mode BatchNorm
+    running-stat EMAs: the sharded train step forwards the 'w' row as the
+    model's sample_weight, so GroupedBatchNorm's masked serial update
+    skips the pad rows — padded tail batches update running stats exactly
+    as the reference's ragged final batch would.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -262,3 +262,151 @@ def test_single_pass_moderate_shift_is_tight():
     y2, st2 = _bn_shift_run(x, False)
     np.testing.assert_allclose(st1["var"], st2["var"], atol=1e-3)
     np.testing.assert_allclose(y1, y2, atol=1e-3)
+
+
+def test_masked_serial_ema_matches_torch_on_valid_groups_only():
+    """sample_weight masks pad groups out of the serial EMA: the masked
+    closed-form update on a padded tensor must equal torch's serial sweep
+    over ONLY the valid groups — the update the reference computes on a
+    ragged final batch (mesh pad_batch semantics, w = 1 valid / 0 pad)."""
+    rng = np.random.default_rng(4)
+    n_valid, n_pad, t, h, w, c = 5, 3, 3, 6, 6, 2
+    n = n_valid + n_pad
+    scale = np.ones(c, np.float32)
+    bias = np.zeros(c, np.float32)
+
+    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1)
+    bn = torch.nn.BatchNorm2d(c, momentum=0.1)
+    bn.train()
+
+    variables = None
+    for sweep in range(3):
+        xv = (
+            rng.normal(size=(n_valid, t, h, w, c)).astype(np.float32)
+            * (1 + sweep)
+            + sweep
+        )
+        # pad rows cycle the valid samples (np.resize), mask zeros them
+        x = np.resize(xv, (n, t, h, w, c))
+        sw = np.zeros((n,), np.float32)
+        sw[:n_valid] = 1.0
+        for g in range(n_valid):  # torch: serial sweep, valid groups only
+            with torch.no_grad():
+                bn(torch.from_numpy(xv[g]).permute(0, 3, 1, 2))
+        if variables is None:
+            variables = m.init(
+                jax.random.PRNGKey(0), jnp.asarray(x), train=True
+            )
+            variables = {
+                "params": {
+                    "scale": jnp.asarray(scale), "bias": jnp.asarray(bias)
+                },
+                "batch_stats": variables["batch_stats"],
+            }
+        _, mutated = m.apply(
+            variables,
+            jnp.asarray(x),
+            train=True,
+            sample_weight=jnp.asarray(sw),
+            mutable=["batch_stats"],
+        )
+        variables = {
+            "params": variables["params"],
+            "batch_stats": mutated["batch_stats"],
+        }
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        bn.running_mean.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        bn.running_var.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_masked_serial_ema_interleaved_positions():
+    """The reversed-cumsum closed form skips masked groups wherever they
+    sit, not just a trailing pad block: an interleaved mask must equal
+    the unmasked update on the compacted valid-only tensor."""
+    rng = np.random.default_rng(5)
+    n, t, h, w, c = 6, 2, 4, 4, 3
+    x = rng.normal(size=(n, t, h, w, c)).astype(np.float32)
+    sw = np.array([1, 0, 1, 1, 0, 1], np.float32)
+
+    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    _, masked = m.apply(
+        variables, jnp.asarray(x), train=True,
+        sample_weight=jnp.asarray(sw), mutable=["batch_stats"],
+    )
+    _, compact = m.apply(
+        variables, jnp.asarray(x[sw.astype(bool)]), train=True,
+        mutable=["batch_stats"],
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(masked["batch_stats"][k]),
+            np.asarray(compact["batch_stats"][k]),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+def test_masked_group_mean_option():
+    """serial_ema=False with sample_weight: the uniform group-mean EMA
+    averages ONLY the valid groups."""
+    rng = np.random.default_rng(6)
+    n, t, h, w, c = 4, 2, 4, 4, 2
+    x = rng.normal(size=(n, t, h, w, c)).astype(np.float32)
+    sw = np.array([1, 1, 0, 0], np.float32)
+
+    m = GroupedBatchNorm(num_group_axes=1, momentum=0.1, serial_ema=False)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    _, masked = m.apply(
+        variables, jnp.asarray(x), train=True,
+        sample_weight=jnp.asarray(sw), mutable=["batch_stats"],
+    )
+    _, compact = m.apply(
+        variables, jnp.asarray(x[:2]), train=True, mutable=["batch_stats"]
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(masked["batch_stats"][k]),
+            np.asarray(compact["batch_stats"][k]),
+            atol=1e-6,
+        )
+
+
+def test_masked_ema_broadcasts_batch_row_over_counties():
+    """num_group_axes=2 (batch, county) with a per-BATCH (B,) weight row —
+    the mesh trainer's actual call shape: mask broadcasts over counties
+    and the update equals the unmasked update on the valid rows."""
+    rng = np.random.default_rng(7)
+    b, n, t, h, w, c = 4, 3, 2, 4, 4, 2
+    xv = rng.normal(size=(3, n, t, h, w, c)).astype(np.float32)
+    x = np.resize(xv, (b, n, t, h, w, c))  # pad row cycles sample 0
+    sw = np.array([1, 1, 1, 0], np.float32)
+
+    m = GroupedBatchNorm(num_group_axes=2, momentum=0.1)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    out, masked = m.apply(
+        variables, jnp.asarray(x), train=True,
+        sample_weight=jnp.asarray(sw), mutable=["batch_stats"],
+    )
+    out_v, compact = m.apply(
+        variables, jnp.asarray(xv), train=True, mutable=["batch_stats"]
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(masked["batch_stats"][k]),
+            np.asarray(compact["batch_stats"][k]),
+            atol=1e-6, rtol=1e-6,
+        )
+    # per-group statistics are independent, so valid-row outputs are
+    # untouched by the mask/pads
+    np.testing.assert_allclose(
+        np.asarray(out)[:3], np.asarray(out_v), atol=1e-6
+    )

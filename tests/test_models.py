@@ -484,3 +484,50 @@ def test_fusion_bf16_preserves_year_resolution():
     y23 = model.apply(variables, x, feats(2023), sup, train=False)
     # 2022 and 2023 both round to 2024 in bf16 — outputs must differ
     assert np.any(np.asarray(y22) != np.asarray(y23))
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_fusion_sample_weight_plumbing(remat):
+    """sample_weight threads from the fusion forward through every BN
+    (contraction, expansion, gwnet): a padded batch with the pad row
+    masked must mutate batch_stats exactly like the ragged batch, and
+    valid-row outputs are untouched. remat=True proves the traced weight
+    rides through the nn.remat-wrapped blocks (static_argnums only pin
+    `train`). Dropout is zeroed so the padded-vs-ragged comparison does
+    not lean on the PRNG's prefix-consistency across batch shapes (a
+    threefry implementation detail, not a contract)."""
+    cfg = ModelConfig(
+        compute_dtype="float32", remat=remat, remat_scope="conv",
+        encoder_dropout=0.0, gwnet=GWNetConfig(dropout=0.0),
+    )
+    model = build_model(cfg, horizon=T)
+    rng = np.random.default_rng(8)
+    xv = rng.normal(size=(3, N, T, H, H, 1)).astype(np.float32)
+    x = jnp.asarray(np.resize(xv, (4, N, T, H, H, 1)))
+    sw = jnp.array([1, 1, 1, 0], jnp.float32)
+    feats3 = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (3, T, 1)
+    )
+    feats4 = jnp.tile(
+        jnp.array([0, 0, 0, 2022, 9, 26], jnp.float32), (4, T, 1)
+    )
+    sup = _supports(N)
+    variables = model.init(
+        {"params": KEY, "dropout": KEY}, x, feats4, sup, train=False
+    )
+
+    out, masked = model.apply(
+        variables, x, feats4, sup, train=True, sample_weight=sw,
+        rngs={"dropout": KEY}, mutable=["batch_stats"],
+    )
+    out_v, compact = model.apply(
+        variables, jnp.asarray(xv), feats3, sup, train=True,
+        rngs={"dropout": KEY}, mutable=["batch_stats"],
+    )
+    a_leaves = jax.tree.leaves(masked["batch_stats"])
+    b_leaves = jax.tree.leaves(compact["batch_stats"])
+    assert a_leaves and len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )

@@ -265,3 +265,66 @@ def test_shard_store_assembly_reads_only_shard_rows(tiny_store):
     np.testing.assert_array_equal(
         np.asarray(pipe.frames), np.asarray(plain.frames)
     )
+
+
+def test_weighted_step_batch_stats_match_ragged():
+    """Padded+weighted mesh train step vs plain ragged-batch step: loss,
+    metrics, AND BatchNorm running stats must agree — the 'w' row now
+    masks the running-stat EMA (GroupedBatchNorm masked serial update),
+    closing the documented tail-batch running-stat deviation."""
+    from multimodal_outage_tpu.core.config import GWNetConfig
+    from multimodal_outage_tpu.parallel.sharding import pad_batch
+
+    mesh = make_mesh(data=2)
+    # dropout zeroed so the ragged-b=3 vs padded-b=4 comparison doesn't
+    # lean on the PRNG's prefix-consistency across batch shapes (a
+    # threefry implementation detail, not a contract)
+    cfg = ModelConfig(
+        compute_dtype="float32",
+        encoder_dropout=0.0,
+        gwnet=GWNetConfig(dropout=0.0),
+    )
+    model = build_model(cfg, horizon=T)
+    rng0 = jax.random.PRNGKey(0)
+    batch = {
+        "x": jax.random.normal(rng0, (3, N, T, S, S, 1)),  # ragged: b=3
+        "y": jax.random.normal(rng0, (3, N, T, S, S, 1)),
+        "date_feats": jnp.zeros((3, T, 6)),
+    }
+    supports = jnp.eye(N)[None]
+    state = create_train_state(model, rng0, batch, supports)
+
+    ref_step = make_train_step(model, donate=False)
+    rng = jax.random.PRNGKey(11)
+    ref_state, ref_metrics = ref_step(
+        state, batch, supports, jnp.float32(1e-3), rng
+    )
+
+    padded = pad_batch(
+        {k: np.asarray(v) for k, v in batch.items()}, batch_size=4
+    )
+    sh_state = shard_state(mesh, state)
+    sh_batch = shard_batch(mesh, padded)
+    step = make_sharded_train_step(
+        model, mesh, sh_state, donate=False, weighted=True
+    )
+    new_state, metrics = step(
+        sh_state, sh_batch, supports, jnp.float32(1e-3), rng
+    )
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=1e-5
+        )
+    ref_bs = jax.tree.leaves_with_path(ref_state.batch_stats)
+    new_bs = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree.leaves_with_path(new_state.batch_stats)
+    )
+    assert ref_bs and len(ref_bs) == len(new_bs)
+    for path, a in ref_bs:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(new_bs[jax.tree_util.keystr(path)]),
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"batch_stats diverge at {jax.tree_util.keystr(path)}",
+        )
